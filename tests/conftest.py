@@ -1,0 +1,23 @@
+"""Test configuration: force a virtual 8-device CPU backend.
+
+Multi-chip sharding logic is tested on CPU via
+``--xla_force_host_platform_device_count=8`` (the standard JAX substitute
+for real multi-host hardware); numerical tests also run on CPU for
+determinism.  Must run before the first ``import jax`` anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(19960903)
