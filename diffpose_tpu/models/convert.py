@@ -1,0 +1,128 @@
+"""PyTorch-checkpoint → Flax-params conversion.
+
+The reference persists ``[model_state, optimizer_state, epoch, step, ema_state]``
+lists via ``torch.save`` (``runners/diffpose_frame.py:248-255``) with
+``DataParallel``'s ``module.`` name prefixes.  This module maps those state
+dicts onto the parameter tree of :class:`~diffpose_tpu.models.GCNDiff` /
+:class:`~diffpose_tpu.models.GCNPose` so pretrained reference weights can be
+ingested for parity evaluation and warm starts.
+
+Core conversion works on ``{name: np.ndarray}`` so the library itself never
+needs torch; :func:`load_torch_states` imports torch lazily for ``.pth`` IO.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _strip_prefix(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v)
+    return out
+
+
+def _set(tree: dict, path: tuple, value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_cheb(tree, dst, w, b):
+    # torch ChebConv weight [K+1, 1, in, out] → [K+1, in, out]; bias [1,1,out] → [out]
+    _set(tree, dst + ("w",), w[:, 0])
+    if b is not None:
+        _set(tree, dst + ("b",), b.reshape(-1))
+
+
+def _convert_linear(tree, dst, w, b):
+    # torch Linear weight [out, in] → kernel [in, out]
+    _set(tree, dst + ("kernel",), w.T)
+    _set(tree, dst + ("bias",), b)
+
+
+ATTN_NAMES = ("q", "k", "v", "out")
+
+
+def torch_state_to_params(
+    state: Mapping[str, np.ndarray], num_layers: int = 5, with_temb: bool = True
+) -> dict:
+    """Convert a GCNdiff/GCNpose/IGCN torch ``state_dict`` to a Flax param tree.
+
+    ``with_temb=True`` for the diffusion denoiser (timestep projections per
+    block); ``False`` for the lifter, whose ``temb.dense.*`` parameters
+    exist in the reference but are unused (``models/gcnpose.py:95-113``) and
+    are dropped here.
+    """
+    sd = _strip_prefix(state)
+    tree: dict = {}
+
+    _convert_cheb(tree, ("gconv_input",), sd["gconv_input.weight"], sd.get("gconv_input.bias"))
+    _convert_cheb(tree, ("gconv_output",), sd["gconv_output.weight"], sd.get("gconv_output.bias"))
+
+    if with_temb:
+        _convert_linear(tree, ("temb_dense_0",), sd["temb.dense.0.weight"], sd["temb.dense.0.bias"])
+        _convert_linear(tree, ("temb_dense_1",), sd["temb.dense.1.weight"], sd["temb.dense.1.bias"])
+
+    for i in range(num_layers):
+        a = f"atten_layers.{i}"
+        for j, name in enumerate(ATTN_NAMES):
+            _convert_linear(
+                tree,
+                (f"atten_{i}", "attn", name),
+                sd[f"{a}.self_attn.linears.{j}.weight"],
+                sd[f"{a}.self_attn.linears.{j}.bias"],
+            )
+        for j, norm in enumerate(("norm1", "norm2")):
+            _set(tree, (f"atten_{i}", norm, "scale"), sd[f"{a}.sublayer.{j}.norm.a_2"])
+            _set(tree, (f"atten_{i}", norm, "bias"), sd[f"{a}.sublayer.{j}.norm.b_2"])
+        _set(tree, (f"atten_{i}", "gnet", "a_hat"), sd[f"{a}.feed_forward.A_hat"])
+        for conv, fc in (("gconv1", "fc1"), ("gconv2", "fc2")):
+            _convert_linear(
+                tree,
+                (f"atten_{i}", "gnet", fc),
+                sd[f"{a}.feed_forward.{conv}.fc.weight"],
+                sd[f"{a}.feed_forward.{conv}.fc.bias"],
+            )
+
+        g = f"gconv_layers.{i}"
+        for conv in ("gconv1", "gconv2"):
+            _convert_cheb(
+                tree,
+                (f"res_{i}", conv, "gconv"),
+                sd[f"{g}.{conv}.gconv.weight"],
+                sd.get(f"{g}.{conv}.gconv.bias"),
+            )
+        if with_temb:
+            _convert_linear(
+                tree, (f"res_{i}", "temb_proj"), sd[f"{g}.temb_proj.weight"], sd[f"{g}.temb_proj.bias"]
+            )
+
+    return tree
+
+
+def load_torch_states(path: str):
+    """Load a reference ``ckpt.pth`` state list (lazy torch import).
+
+    Returns ``(model_state, optim_state, epoch, step, ema_state_or_None)``
+    as host numpy, following the reference checkpoint ABI
+    (``runners/diffpose_frame.py:248-255``).
+    """
+    import torch
+
+    states = torch.load(path, map_location="cpu", weights_only=False)
+    def to_np(d):
+        return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v for k, v in d.items()}
+
+    model_state = to_np(states[0])
+    optim_state = states[1] if len(states) > 1 else None
+    epoch = states[2] if len(states) > 2 else 0
+    step = states[3] if len(states) > 3 else 0
+    ema_state = to_np(states[4]) if len(states) > 4 else None
+    return model_state, optim_state, epoch, step, ema_state
