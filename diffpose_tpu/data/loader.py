@@ -1,0 +1,80 @@
+"""Host-side batch iteration with static shapes and multi-host sharding.
+
+Replaces the reference's 32-worker ``torch.utils.data.DataLoader``
+(``runners/diffpose_frame.py:170-173``): the heavy per-sample work (GMM
+kernel draw) is done on device (:mod:`diffpose_tpu.data.gmm`), so the host
+loader is a thin permutation + gather.
+
+TPU specifics:
+
+* every batch has the same static shape — the trailing partial batch is
+  wrap-padded (the reference generator also wraps indices modulo the
+  dataset length, ``common/generators.py:26-29``) and carries a ``valid``
+  mask so eval can discount padding;
+* for multi-host runs each process takes a disjoint contiguous slice of
+  the *same* global permutation (seeded identically on all hosts), so the
+  global sample order is host-count invariant — required for parity runs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from diffpose_tpu.data.pipeline import FlatDataset
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset: FlatDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        process_count: int = 1,
+        process_index: int = 0,
+    ):
+        assert 0 <= process_index < process_count
+        assert batch_size % process_count == 0, "global batch must divide across hosts"
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.per_host_batch = batch_size // process_count
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_count = process_count
+        self.process_index = process_index
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        if self.shuffle:
+            perm = np.random.default_rng(self.seed + epoch).permutation(n)
+        else:
+            perm = np.arange(n)
+
+        num_batches = len(self)
+        for b in range(num_batches):
+            start = b * self.batch_size
+            idx_global = np.arange(start, start + self.batch_size)
+            valid = idx_global < n
+            idx_global = idx_global % n  # wrap-pad the tail
+            idx = perm[idx_global]
+            # Contiguous per-host slice of the global batch.
+            lo = self.process_index * self.per_host_batch
+            hi = lo + self.per_host_batch
+            sel = idx[lo:hi]
+            yield {
+                "poses_3d": self.dataset.poses_3d[sel],
+                "poses_2d_gmm": self.dataset.poses_2d_gmm[sel],
+                "action_ids": self.dataset.action_ids[sel],
+                "camera_para": self.dataset.camera_para[sel],
+                "valid": valid[lo:hi],
+            }
