@@ -48,6 +48,31 @@ def sample_gmm_batch(key: Array, poses_2d_gmm: Array, poses_3d: Array) -> Tuple[
     return uvxyz, noise_scale, mean_uv
 
 
+def sample_gmm_batch_per_sample(
+    base_key: Array, seeds: Array, poses_2d_gmm: Array, poses_3d: Array
+) -> Tuple[Array, Array, Array]:
+    """Per-sample-keyed GMM draw: sharding-layout invariant.
+
+    Each sample's kernel choice depends only on ``(base_key, seeds[i])`` —
+    not on the batch shape — so evaluating a dataset sharded over N chips
+    draws *exactly* the same kernels as a single-chip run.  ``seeds`` is a
+    per-sample int32 id emitted by the loader.
+    """
+
+    def one(seed, gmm, p3):
+        key = jax.random.fold_in(base_key, seed)
+        logits = jnp.log(jnp.maximum(gmm[..., 0], 1e-12))  # [J, K]
+        choice = jax.random.categorical(key, logits, axis=-1)  # [J]
+        kernel = jnp.take_along_axis(gmm, choice[:, None, None], axis=1)[:, 0, :]
+        mean_uv = kernel[..., 1:3]
+        var_uv = kernel[..., 3:5]
+        uvxyz = jnp.concatenate([mean_uv, p3], axis=-1)
+        noise_scale = jnp.concatenate([var_uv, jnp.ones_like(p3)], axis=-1)
+        return uvxyz, noise_scale, mean_uv
+
+    return jax.vmap(one)(seeds, poses_2d_gmm, poses_3d)
+
+
 def gmm_mean_pose_2d(poses_2d_gmm: Array) -> Array:
     """Weight-averaged 2D pose (the distribution mean), [B, J, 2].
 

@@ -71,10 +71,19 @@ class BatchLoader:
             lo = self.process_index * self.per_host_batch
             hi = lo + self.per_host_batch
             sel = idx[lo:hi]
+            # Per-sample RNG ids: deterministic in (loader seed, epoch,
+            # dataset index) — they make on-device randomness (GMM kernel
+            # draw) independent of batch/shard layout.
+            seeds = (
+                np.asarray(sel, np.int64) * 2654435761
+                + np.int64(epoch) * 97531
+                + np.int64(self.seed) * 1000003
+            ).astype(np.uint32).astype(np.int32)
             yield {
                 "poses_3d": self.dataset.poses_3d[sel],
                 "poses_2d_gmm": self.dataset.poses_2d_gmm[sel],
                 "action_ids": self.dataset.action_ids[sel],
                 "camera_para": self.dataset.camera_para[sel],
                 "valid": valid[lo:hi],
+                "seeds": seeds,
             }

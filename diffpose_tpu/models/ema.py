@@ -12,8 +12,14 @@ import jax
 
 
 def ema_register(params):
-    """Initialize the EMA shadow as a copy of the live parameters."""
-    return jax.tree_util.tree_map(lambda p: p, params)
+    """Initialize the EMA shadow as a *copy* of the live parameters.
+
+    A real copy (not an alias): shadow and live params must be distinct
+    buffers so a jitted step may donate the train state.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(shadow, params, mu: float = 0.999):

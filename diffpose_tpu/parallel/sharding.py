@@ -1,0 +1,120 @@
+"""Sharded train/eval steps: shard_map over the data axis, psum over ICI.
+
+Training: parameters and optimizer state are replicated; the global batch
+is sharded over ``data``; each shard computes its gradient and the
+``pmean`` collective (compiled by XLA onto ICI) averages them — the
+TPU-native equivalent of distributed data parallelism (the reference has
+only intra-process ``DataParallel``, §2.6 of the survey).
+
+Evaluation: the ``hypothesis × frames`` batch axis shards over ``data``;
+per-sample metrics come back still sharded (no gather needed until the
+host reduces the tiny [B] vectors).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffpose_tpu.train.state import TrainState
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sharding = data_sharding(mesh, axis)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def make_sharded_train_step(
+    model,
+    optimizer,
+    betas,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    ema_mu: Optional[float] = 0.999,
+    mask=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the multi-chip training step: shard_map(data-parallel) + jit.
+
+    Inside the shard each device runs the fused step from
+    :func:`diffpose_tpu.train.steps.make_train_step` on its batch shard;
+    gradients/loss are ``pmean``-reduced over ``axis``.
+    """
+    from diffpose_tpu.train.steps import make_train_step
+
+    local_step = make_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis
+    )
+
+    keys = ("poses_2d_gmm", "poses_3d")
+    batch_spec = P(axis)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), {k: batch_spec for k in keys}, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, key):
+        return jitted(state, {k: batch[k] for k in keys}, key)
+
+    return step
+
+
+def make_sharded_eval_step(
+    diff_model,
+    pose_model,
+    betas,
+    seq,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    test_times: int = 1,
+    eta: float = 0.0,
+    mask=None,
+    use_ema: bool = False,
+) -> Callable:
+    """Multi-chip eval step: frames shard over ``axis``; hypotheses stay
+    on-chip (``test_times`` replication inside the shard), per-sample P1/P2
+    come back sharded over ``axis``."""
+    from diffpose_tpu.train.steps import make_eval_step
+
+    local_step = make_eval_step(
+        diff_model, pose_model, betas, seq,
+        test_times=test_times, eta=eta, mask=mask, use_ema=use_ema,
+    )
+
+    keys = ("poses_2d_gmm", "poses_3d", "seeds")
+    batch_spec = P(axis)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(),
+            {k: batch_spec for k in keys},
+            P(),
+        ),
+        out_specs=(batch_spec, batch_spec, batch_spec),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def step(state, pose_params, batch, key):
+        return jitted(state, pose_params, {k: batch[k] for k in keys}, key)
+
+    return step

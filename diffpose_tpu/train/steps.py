@@ -1,0 +1,163 @@
+"""Pure train/eval step functions (jit/shard_map-ready).
+
+The training step fuses, in one jit region on device: the GMM kernel draw,
+antithetic timestep sampling, the forward q-sample, the denoiser forward,
+the ε-MSE loss, backward, Adam update, and the EMA update.  The reference
+splits this across DataLoader workers, a DataParallel scatter/gather and
+several host syncs per step (``runners/diffpose_frame.py:203-236``).
+
+Loss: ``‖e − ε̂‖²`` summed over joints+coords, mean over batch
+(``runners/diffpose_frame.py:226``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffpose_tpu.data.gmm import sample_gmm_batch, sample_gmm_batch_per_sample
+from diffpose_tpu.diffusion.ddim import antithetic_timesteps, ddim_sample, q_sample
+from diffpose_tpu.metrics import mpjpe_per_sample, p_mpjpe_per_sample
+from diffpose_tpu.models.ema import ema_update
+from diffpose_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def diffusion_loss(
+    model_apply: Callable,
+    params,
+    x_t: Array,
+    t: Array,
+    target_noise: Array,
+    mask: Optional[Array],
+    dropout_key: Array,
+) -> Array:
+    eps = model_apply(
+        {"params": params}, x_t, t.astype(jnp.float32), mask,
+        train=True, rngs={"dropout": dropout_key},
+    )
+    return jnp.mean(jnp.sum((target_noise - eps) ** 2, axis=(1, 2)))
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    betas: np.ndarray,
+    *,
+    ema_mu: Optional[float] = 0.999,
+    mask: Optional[Array] = None,
+    axis_name: Optional[str] = None,
+):
+    """Build the fused training step.
+
+    ``axis_name`` is set when the step runs inside ``shard_map``: gradients
+    and the loss are then ``pmean``-reduced over the mesh axis (the XLA
+    collective rides ICI), and per-shard randomness is decorrelated by
+    folding in the shard index.
+    """
+    num_timesteps = len(betas)
+
+    def train_step(state: TrainState, batch: dict, key: Array):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+
+        uvxyz, noise_scale, _ = sample_gmm_batch(
+            k_gmm, batch["poses_2d_gmm"], batch["poses_3d"]
+        )
+        n = uvxyz.shape[0]
+        t = antithetic_timesteps(k_t, n, num_timesteps)
+        e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
+        x_t = q_sample(uvxyz, t, e, betas)
+
+        def loss_fn(params):
+            return diffusion_loss(model.apply, params, x_t, t, e, mask, k_drop)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None and ema_mu is not None:
+            ema_params = ema_update(ema_params, params, ema_mu)
+
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
+
+
+def make_eval_step(
+    diff_model,
+    pose_model,
+    betas: np.ndarray,
+    seq: Sequence[int],
+    *,
+    test_times: int = 1,
+    eta: float = 0.0,
+    mask: Optional[Array] = None,
+    add_start_noise: bool = False,
+    use_ema: bool = False,
+):
+    """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
+
+    Reference protocol (``runners/diffpose_frame.py:330-391``): draw a GMM
+    kernel for the 2D input, lift with GCNPose, root-center, concatenate to
+    uvxyz, replicate ``test_times`` hypotheses, run the (eta=0) DDIM
+    subsequence *starting from the lifted uvxyz* (the noising line is
+    disabled in the reference, ``:363``), average hypotheses, root-center,
+    and return per-sample P1/P2 errors.
+
+    ``use_ema`` evaluates the EMA shadow instead of the live weights (the
+    reference persists EMA but never swaps it in; both paths exist here).
+    """
+    seq = tuple(int(s) for s in seq)
+
+    def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        k_gmm, k_noise, k_ddim = jax.random.split(key, 3)
+
+        # Per-sample-keyed kernel draw → results are identical regardless of
+        # how the batch is sharded across chips (parity across topologies).
+        _, noise_scale, input_2d = sample_gmm_batch_per_sample(
+            k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
+        )
+        xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
+        xyz = xyz - xyz[:, :1, :]
+        uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
+
+        uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
+        if add_start_noise:
+            ns = jnp.tile(noise_scale, (test_times, 1, 1))
+            e = jax.random.normal(k_noise, uvxyz.shape, uvxyz.dtype) * ns
+            t0 = jnp.full((uvxyz.shape[0],), seq[-1], jnp.int32)
+            uvxyz = q_sample(uvxyz, t0, e, betas)
+
+        def denoise(x, t):
+            return diff_model.apply({"params": params}, x, t, mask)
+
+        out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=k_ddim)
+        out = out.reshape(test_times, -1, out.shape[1], out.shape[2]).mean(axis=0)
+
+        pred_xyz = out[..., 2:]
+        pred_xyz = pred_xyz - pred_xyz[:, :1, :]
+        target = batch["poses_3d"] - batch["poses_3d"][:, :1, :]
+        p1 = mpjpe_per_sample(pred_xyz, target)
+        p2 = p_mpjpe_per_sample(pred_xyz, target)
+        return p1, p2, pred_xyz
+
+    return eval_step

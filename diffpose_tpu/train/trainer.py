@@ -1,0 +1,368 @@
+"""The frame-based DiffPose runner: orchestration of train/eval lifecycles.
+
+Capability parity with the reference ``Diffpose`` runner
+(``runners/diffpose_frame.py``): builds denoiser + lifter over the 17-joint
+H3.6M graph, trains with the GMM forward process + EMA + staircase LR and
+evaluates after every epoch, reporting the per-action P1/P2 table.
+
+TPU-first orchestration: the whole step is one jitted (optionally
+shard_mapped) device program; checkpointing is Orbax with full resume;
+multi-chip runs shard the batch over the ``data`` mesh axis.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpose_tpu.config import Config
+from diffpose_tpu.data.loader import BatchLoader
+from diffpose_tpu.data.pipeline import FlatDataset
+from diffpose_tpu.diffusion import get_beta_schedule, make_skip_sequence
+from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
+from diffpose_tpu.metrics import (
+    AverageMeter,
+    accumulate_action_errors,
+    define_error_list,
+    summarize_action_errors,
+)
+from diffpose_tpu.models import GCNDiff, GCNPose, ema_register
+from diffpose_tpu.models.convert import load_torch_states, torch_state_to_params
+from diffpose_tpu.parallel.sharding import (
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    shard_batch,
+)
+from diffpose_tpu.train.checkpoint import Checkpointer
+from diffpose_tpu.train.optim import make_optimizer
+from diffpose_tpu.train.state import TrainState
+from diffpose_tpu.train.steps import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+class DiffposeRunner:
+    def __init__(
+        self,
+        config: Config,
+        *,
+        seed: int = 19960903,
+        skip_type: str = "uniform",
+        eta: float = 0.0,
+        mesh=None,
+        log_dir: Optional[str] = None,
+        use_ema_eval: bool = False,
+        reference_compat: bool = True,
+        downsample: int = 1,
+        action_filter=None,
+    ):
+        self.config = config
+        self.seed = seed
+        self.skip_type = skip_type
+        self.eta = eta
+        self.mesh = mesh
+        self.log_dir = log_dir
+        self.use_ema_eval = use_ema_eval
+        self.reference_compat = reference_compat
+        self.downsample = downsample
+        self.action_filter = action_filter
+
+        d = config.diffusion
+        self.betas = get_beta_schedule(
+            d.beta_schedule,
+            beta_start=d.beta_start,
+            beta_end=d.beta_end,
+            num_diffusion_timesteps=d.num_diffusion_timesteps,
+        )
+        self.basis = cheb_basis_from_edges(config.model.n_pts, H36M_EDGES, order=2)
+        self.mask = jnp.ones((1, 1, config.model.n_pts))
+        self.key = jax.random.PRNGKey(seed)
+
+        self.model_diff: Optional[GCNDiff] = None
+        self.model_pose: Optional[GCNPose] = None
+        self.state: Optional[TrainState] = None
+        self.pose_params = None
+        self.train_data: Optional[FlatDataset] = None
+        self.test_data: Optional[FlatDataset] = None
+        self.checkpointer: Optional[Checkpointer] = None
+        if log_dir is not None:
+            self.checkpointer = Checkpointer(log_dir)
+
+        # perf tracking (reference --track_metrics equivalent)
+        self.inference_times: List[float] = []
+        self.eval_frames: int = 0
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Model construction (reference create_diffusion_model / create_pose_model)
+    # ------------------------------------------------------------------
+
+    def create_diffusion_model(self, model_path: Optional[str] = None):
+        m = self.config.model
+        self.model_diff = GCNDiff(
+            basis=self.basis,
+            hid_dim=m.hid_dim,
+            coords_in=m.coords_dim[0],
+            coords_out=m.coords_dim[1],
+            num_layers=m.num_layer,
+            num_heads=m.n_head,
+            dropout_rate=m.dropout,
+            n_pts=m.n_pts,
+        )
+        params = self.model_diff.init(
+            {"params": self._next_key()},
+            jnp.zeros((2, m.n_pts, m.coords_dim[0])),
+            jnp.zeros((2,)),
+        )["params"]
+        if model_path:
+            logger.info("initialize diffusion model from %s", model_path)
+            if model_path.endswith(".pth"):
+                torch_state, *_ = load_torch_states(model_path)
+                params = torch_state_to_params(
+                    torch_state, num_layers=m.num_layer, with_temb=True
+                )
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._params_diff_init = params
+        return self.model_diff
+
+    def create_pose_model(self, model_path: Optional[str] = None):
+        m = self.config.model
+        self.model_pose = GCNPose(
+            basis=self.basis,
+            hid_dim=m.hid_dim,
+            coords_in=2,
+            coords_out=3,
+            num_layers=m.num_layer,
+            num_heads=m.n_head,
+            dropout_rate=m.dropout,
+            n_pts=m.n_pts,
+        )
+        params = self.model_pose.init(
+            {"params": self._next_key()}, jnp.zeros((2, m.n_pts, 2))
+        )["params"]
+        if model_path:
+            logger.info("initialize pose model from %s", model_path)
+            if model_path.endswith(".pth"):
+                torch_state, *_ = load_torch_states(model_path)
+                params = torch_state_to_params(
+                    torch_state, num_layers=m.num_layer, with_temb=False
+                )
+                params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.pose_params = params
+        return self.model_pose
+
+    # ------------------------------------------------------------------
+    # Data
+    # ------------------------------------------------------------------
+
+    def prepare_data(self):
+        """Load the real H3.6M npz pair configured in ``config.data``."""
+        from diffpose_tpu.data.pipeline import prepare_h36m
+
+        d = self.config.data
+        if d.dataset != "human36m":
+            raise KeyError("Invalid dataset")
+        # Note: the train 2D source is dataset_path_train_2d, the test 2D
+        # source is dataset_path_test_2d (e.g. GT-trained, CPN-tested).
+        train, test = prepare_h36m(
+            d.dataset_path,
+            d.dataset_path_train_2d,
+            d.dataset_path_test_2d,
+            action_filter=self.action_filter,
+            stride=self.downsample,
+        )
+        self.set_data(train, test)
+
+    def set_data(self, train: Optional[FlatDataset], test: Optional[FlatDataset]):
+        self.train_data = train
+        self.test_data = test
+        if train is not None:
+            logger.info("training dataset: %d frames", len(train))
+        if test is not None:
+            logger.info("testing dataset: %d frames", len(test))
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+
+    def _make_loader(self, data: FlatDataset, shuffle: bool) -> BatchLoader:
+        return BatchLoader(
+            data,
+            batch_size=self.config.training.batch_size,
+            shuffle=shuffle,
+            seed=self.seed,
+            process_count=jax.process_count(),
+            process_index=jax.process_index(),
+        )
+
+    def _build_train_step(self, steps_per_epoch: int):
+        o = self.config.optim
+        optimizer = make_optimizer(
+            optimizer=o.optimizer,
+            lr=o.lr,
+            lr_gamma=o.lr_gamma,
+            decay_epochs=o.decay,
+            steps_per_epoch=steps_per_epoch,
+            grad_clip=o.grad_clip,
+            eps=o.eps,
+        )
+        ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        if self.mesh is not None:
+            step_fn = make_sharded_train_step(
+                self.model_diff, optimizer, self.betas, self.mesh,
+                ema_mu=ema_mu, mask=self.mask,
+            )
+        else:
+            step_fn = jax.jit(
+                make_train_step(
+                    self.model_diff, optimizer, self.betas, ema_mu=ema_mu, mask=self.mask
+                ),
+                donate_argnums=(0,),
+            )
+        return optimizer, step_fn
+
+    def init_state(self, optimizer) -> TrainState:
+        params = self._params_diff_init
+        ema = ema_register(params) if self.config.model.ema else None
+        return TrainState.create(params, optimizer.init(params), ema_params=ema)
+
+    def train(self, resume: bool = False) -> Dict[str, list]:
+        assert self.model_diff is not None and self.train_data is not None
+        loader = self._make_loader(self.train_data, shuffle=True)
+        steps_per_epoch = len(loader)
+        optimizer, step_fn = self._build_train_step(steps_per_epoch)
+
+        if self.state is None:
+            self.state = self.init_state(optimizer)
+        if resume and self.checkpointer is not None and self.checkpointer.latest_step() is not None:
+            self.state, restored_pose = self.checkpointer.restore(
+                self.state, template_pose_params=self.pose_params
+            )
+            if restored_pose is not None:
+                self.pose_params = restored_pose
+            logger.info("resumed from step %d (epoch %d)", int(self.state.step), int(self.state.epoch))
+
+        history = {"loss": [], "p1": [], "p2": []}
+        best_p1, best_epoch = float("inf"), -1
+        start_epoch = int(self.state.epoch)
+
+        for epoch in range(start_epoch, self.config.training.n_epochs):
+            epoch_loss = AverageMeter()
+            t0 = time.time()
+            for i, batch in enumerate(loader.epoch(epoch)):
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                self.state, metrics = step_fn(self.state, batch, self._next_key())
+                if i % 100 == 0:
+                    # host sync only every 100 steps (the reference syncs
+                    # .item() every step, runners/diffpose_frame.py:233)
+                    epoch_loss.update(float(metrics["loss"]), 1)
+            self.state = self.state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+            history["loss"].append(epoch_loss.avg)
+            logger.info(
+                "| Epoch %04d | steps %d | loss %.6f | %.2fs |",
+                epoch, steps_per_epoch, epoch_loss.avg, time.time() - t0,
+            )
+
+            if self.checkpointer is not None:
+                self.checkpointer.save(
+                    int(self.state.step), self.state, pose_params=self.pose_params
+                )
+
+            if self.test_data is not None:
+                p1, p2 = self.evaluate(is_train=True)
+                history["p1"].append(p1)
+                history["p2"].append(p2)
+                if p1 < best_p1:
+                    best_p1, best_epoch = p1, epoch
+                logger.info(
+                    "| Best Epoch: %04d MPJPE: %.2f | Epoch: %04d MPJPE: %.2f PA-MPJPE: %.2f |",
+                    best_epoch, best_p1, epoch, p1, p2,
+                )
+        return history
+
+    # ------------------------------------------------------------------
+    # Evaluation (reference test_hyber)
+    # ------------------------------------------------------------------
+
+    def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
+        assert self.model_diff is not None and self.model_pose is not None
+        assert self.test_data is not None and self.pose_params is not None
+        t_cfg = self.config.testing
+        seq = make_skip_sequence(
+            self.skip_type, t_cfg.test_timesteps, t_cfg.test_num_diffusion_timesteps
+        )
+        logger.info("using %d diffusion steps: %s", len(seq), list(seq))
+
+        if state is None:
+            if self.state is None:
+                # eval-only path: wrap bare params in a state
+                self.state = TrainState.create(self._params_diff_init, opt_state=(), ema_params=None)
+            state = self.state
+
+        if self.mesh is not None:
+            eval_fn = make_sharded_eval_step(
+                self.model_diff, self.model_pose, self.betas, seq, self.mesh,
+                test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
+                use_ema=self.use_ema_eval,
+            )
+        else:
+            eval_fn = jax.jit(
+                make_eval_step(
+                    self.model_diff, self.model_pose, self.betas, seq,
+                    test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
+                    use_ema=self.use_ema_eval,
+                )
+            )
+
+        loader = self._make_loader(self.test_data, shuffle=False)
+        actions = list(self.test_data.actions)
+        error_sum = define_error_list(actions)
+        p1_meter, p2_meter = AverageMeter(), AverageMeter()
+        self.inference_times = []
+        self.eval_frames = 0
+
+        for batch in loader.epoch(0):
+            dev_batch = shard_batch(self.mesh, batch) if self.mesh is not None else batch
+            t0 = time.time()
+            p1_b, p2_b, _ = eval_fn(state, self.pose_params, dev_batch, self._next_key())
+            p1_b = np.asarray(p1_b)
+            p2_b = np.asarray(p2_b)  # blocks; includes device time
+            self.inference_times.append(time.time() - t0)
+
+            valid = np.asarray(batch["valid"])
+            p1_v, p2_v = p1_b[valid], p2_b[valid]
+            ids = np.asarray(batch["action_ids"])[valid]
+            names = [self.test_data.actions[i] for i in ids]
+            self.eval_frames += int(valid.sum())
+            if len(names):
+                accumulate_action_errors(
+                    error_sum, p1_v, p2_v, names,
+                    num_joints=self.config.model.n_pts,
+                    reference_compat=self.reference_compat,
+                )
+                p1_meter.update(float(p1_v.mean()) * 1000.0, len(names))
+                p2_meter.update(float(p2_v.mean()) * 1000.0, len(names))
+
+        logger.info("MPJPE: %.4f | P-MPJPE: %.4f", p1_meter.avg, p2_meter.avg)
+        p1, p2 = summarize_action_errors(error_sum, print_table=not is_train)
+        return p1, p2
+
+    # ------------------------------------------------------------------
+
+    def throughput_stats(self) -> Dict[str, float]:
+        """frames/s over the last evaluate() call (device-inclusive)."""
+        total = sum(self.inference_times)
+        return {
+            "eval_frames": self.eval_frames,
+            "eval_seconds": total,
+            "frames_per_second": self.eval_frames / total if total > 0 else 0.0,
+        }

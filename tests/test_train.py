@@ -1,0 +1,117 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffpose_tpu.data import BatchLoader, make_synthetic_dataset
+from diffpose_tpu.diffusion import get_beta_schedule
+from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
+from diffpose_tpu.models import GCNDiff, GCNPose, ema_register
+from diffpose_tpu.train import TrainState, make_eval_step, make_optimizer, make_train_step, staircase_lr
+
+BETAS = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3, num_diffusion_timesteps=51)
+BASIS = cheb_basis_from_edges(17, H36M_EDGES)
+
+
+def _tiny_models():
+    diff = GCNDiff(basis=BASIS, hid_dim=32, num_layers=2, num_heads=4)
+    pose = GCNPose(basis=BASIS, hid_dim=32, num_layers=2, num_heads=4)
+    return diff, pose
+
+
+def _init_state(model, optimizer, key):
+    params = model.init(
+        {"params": key}, jnp.zeros((2, 17, 5)), jnp.zeros((2,))
+    )["params"]
+    opt_state = optimizer.init(params)
+    return TrainState.create(params, opt_state, ema_params=ema_register(params))
+
+
+def test_staircase_lr_matches_reference_semantics():
+    sched = staircase_lr(2e-5, 0.9, 60, steps_per_epoch=10)
+    assert sched(0) == 2e-5
+    assert sched(599) == 2e-5                   # epoch 59
+    np.testing.assert_allclose(sched(600), 2e-5 * 0.9)   # epoch 60
+    np.testing.assert_allclose(sched(1200), 2e-5 * 0.81)  # epoch 120
+
+
+def test_train_step_reduces_loss():
+    ds = make_synthetic_dataset(num_frames=128, seed=0)
+    loader = BatchLoader(ds, batch_size=64, shuffle=True, seed=0)
+    diff, _ = _tiny_models()
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=100, grad_clip=1.0)
+    state = _init_state(diff, opt, jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(diff, opt, BETAS))
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for epoch in range(15):
+        for batch in loader.epoch(epoch):
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+            losses.append(float(metrics["loss"]))
+    assert int(state.step) == len(losses)
+    first, last = np.mean(losses[:4]), np.mean(losses[-4:])
+    # The epsilon-MSE floor is ~E||e||^2-ish at these alphas; a clear drop
+    # (not convergence to zero) is what indicates learning.
+    assert last < first - 5.0, (first, last)
+
+
+def test_ema_tracks_but_lags_params():
+    ds = make_synthetic_dataset(num_frames=64, seed=1)
+    loader = BatchLoader(ds, batch_size=64, shuffle=False)
+    diff, _ = _tiny_models()
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    state = _init_state(diff, opt, jax.random.PRNGKey(2))
+    step_fn = jax.jit(make_train_step(diff, opt, BETAS, ema_mu=0.999))
+
+    batch = next(iter(loader.epoch(0)))
+    initial = jax.tree_util.tree_map(np.asarray, state.params)
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(10 + i))
+
+    p_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    e_leaf = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    i_leaf = np.asarray(jax.tree_util.tree_leaves(initial)[0])
+    # EMA moved from the init but much less than the live params.
+    assert not np.allclose(e_leaf, p_leaf)
+    assert np.abs(e_leaf - i_leaf).max() < np.abs(p_leaf - i_leaf).max()
+
+
+def test_eval_step_shapes_and_determinism():
+    ds = make_synthetic_dataset(num_frames=32, seed=2)
+    loader = BatchLoader(ds, batch_size=32, shuffle=False)
+    diff, pose = _tiny_models()
+    opt = make_optimizer()
+    state = _init_state(diff, opt, jax.random.PRNGKey(3))
+    pose_params = pose.init({"params": jax.random.PRNGKey(4)}, jnp.zeros((2, 17, 2)))["params"]
+
+    eval_fn = jax.jit(make_eval_step(diff, pose, BETAS, (0, 12), test_times=3))
+    batch = next(iter(loader.epoch(0)))
+    p1, p2, pred = eval_fn(state, pose_params, batch, jax.random.PRNGKey(5))
+    assert p1.shape == (32,) and p2.shape == (32,) and pred.shape == (32, 17, 3)
+    assert np.isfinite(np.asarray(p1)).all() and np.isfinite(np.asarray(p2)).all()
+
+    p1b, _, _ = eval_fn(state, pose_params, batch, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p1b))
+
+
+def test_eval_uses_ema_when_requested():
+    ds = make_synthetic_dataset(num_frames=16, seed=3)
+    loader = BatchLoader(ds, batch_size=16, shuffle=False)
+    diff, pose = _tiny_models()
+    opt = make_optimizer(lr=1e-2, steps_per_epoch=10)
+    state = _init_state(diff, opt, jax.random.PRNGKey(6))
+    pose_params = pose.init({"params": jax.random.PRNGKey(7)}, jnp.zeros((2, 17, 2)))["params"]
+
+    batch = next(iter(loader.epoch(0)))
+    step_fn = jax.jit(make_train_step(diff, opt, BETAS, ema_mu=0.5))
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(20 + i))
+
+    live = jax.jit(make_eval_step(diff, pose, BETAS, (0, 12)))(
+        state, pose_params, batch, jax.random.PRNGKey(8)
+    )
+    ema = jax.jit(make_eval_step(diff, pose, BETAS, (0, 12), use_ema=True))(
+        state, pose_params, batch, jax.random.PRNGKey(8)
+    )
+    assert not np.allclose(np.asarray(live[0]), np.asarray(ema[0]))
