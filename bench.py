@@ -1,0 +1,150 @@
+"""Headline benchmark: DDIM-denoised eval frames/sec on one chip.
+
+Workload = the reference's eval protocol (``runners/diffpose_frame.py``,
+``configs/human36m_diffpose_uvxyz_cpn.yml``): GCNPose 2D→3D lift, 2-step
+DDIM denoise of the uvxyz batch (T_test=24, uniform skip), hypothesis
+mean — batch 1024, float32.
+
+Baseline = the same workload driven through the reference PyTorch
+implementation on CPU (imported read-only from /root/reference), which is
+how the reference runs in this environment.  The baseline number is cached
+in ``.bench_baseline.json`` after first measurement.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = 1024
+TEST_TIMES = 1
+SEQ = (0, 12)  # 2 uniform DDIM steps of T_test=24
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def bench_tpu(iters: int = 50) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from diffpose_tpu.diffusion import get_beta_schedule, ddim_sample
+    from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
+    from diffpose_tpu.models import GCNDiff, GCNPose
+
+    basis = cheb_basis_from_edges(17, H36M_EDGES, order=2)
+    diff = GCNDiff(basis=basis)
+    pose = GCNPose(basis=basis)
+    betas = get_beta_schedule(
+        "linear", beta_start=1e-4, beta_end=1e-3, num_diffusion_timesteps=51
+    )
+    mask = jnp.ones((1, 1, 17))
+
+    key = jax.random.PRNGKey(0)
+    params_diff = diff.init({"params": key}, jnp.zeros((2, 17, 5)), jnp.zeros((2,)))["params"]
+    params_pose = pose.init({"params": key}, jnp.zeros((2, 17, 2)))["params"]
+
+    @jax.jit
+    def eval_fn(input_2d):
+        xyz = pose.apply({"params": params_pose}, input_2d, mask)
+        xyz = xyz - xyz[:, :1, :]
+        uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
+        uvxyz = jnp.tile(uvxyz, (TEST_TIMES, 1, 1))
+
+        def denoise(x, t):
+            return diff.apply({"params": params_diff}, x, t, mask)
+
+        out = ddim_sample(denoise, uvxyz, SEQ, betas)
+        out = out.reshape(TEST_TIMES, -1, 17, 5).mean(axis=0)
+        return out[..., 2:]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 17, 2), jnp.float32)
+    eval_fn(x).block_until_ready()  # compile
+    # Timed loop.
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_fn(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def bench_reference_cpu(iters: int = 3) -> float:
+    """Reference torch implementation on CPU, same workload (the baseline)."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from types import SimpleNamespace
+    from models.ChebConv import adj_mx_from_edges
+    from models.gcndiff import GCNdiff
+    from models.gcnpose import GCNpose
+
+    torch.set_grad_enabled(False)
+    mc = SimpleNamespace(hid_dim=96, emd_dim=96, coords_dim=[5, 5], num_layer=5,
+                         n_head=4, dropout=0.25, n_pts=17)
+    edges = torch.tensor(
+        [[0, 1], [1, 2], [2, 3], [0, 4], [4, 5], [5, 6], [0, 7], [7, 8], [8, 9],
+         [9, 10], [8, 11], [11, 12], [12, 13], [8, 14], [14, 15], [15, 16]]
+    )
+    adj = adj_mx_from_edges(17, edges, sparse=False)
+    model_diff = GCNdiff(adj, SimpleNamespace(model=mc)).eval()
+    mc2 = SimpleNamespace(**{**vars(mc), "coords_dim": [2, 3]})
+    model_pose = GCNpose(adj, SimpleNamespace(model=mc2)).eval()
+    mask = torch.ones(1, 1, 17, dtype=torch.bool)
+
+    betas = torch.linspace(1e-4, 1e-3, 51, dtype=torch.float64).float()
+    ab = torch.cumprod(1 - torch.cat([torch.zeros(1), betas]), dim=0)
+
+    x2d = torch.randn(BATCH, 17, 2)
+
+    def run_once():
+        xyz = model_pose(x2d, mask)
+        xyz = xyz - xyz[:, :1, :]
+        x = torch.cat([x2d, xyz], dim=2).repeat(TEST_TIMES, 1, 1)
+        seq_next = [-1] + list(SEQ[:-1])
+        for i, j in zip(reversed(SEQ), reversed(seq_next)):
+            at, at_next = ab[i + 1], ab[j + 1]
+            t = torch.full((x.shape[0],), float(i))
+            et = model_diff(x, mask, t, 0)
+            x0 = (x - et * (1 - at).sqrt()) / at.sqrt()
+            x = at_next.sqrt() * x0 + (1 - at_next).sqrt() * et
+        return x.reshape(TEST_TIMES, -1, 17, 5).mean(0)[..., 2:]
+
+    run_once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["frames_per_second"]
+    try:
+        fps = bench_reference_cpu()
+    except Exception as e:  # reference not mounted → conservative fallback
+        print(f"# baseline measurement failed ({e}); using cached/default", file=sys.stderr)
+        return 0.0
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"frames_per_second": fps, "workload": "ref torch CPU eval b1024 2-step DDIM"}, f)
+    return fps
+
+
+def main():
+    baseline = get_baseline()
+    value = bench_tpu()
+    vs = value / baseline if baseline > 0 else 0.0
+    print(json.dumps({
+        "metric": "h36m_eval_ddim_frames_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

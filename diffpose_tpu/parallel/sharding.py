@@ -18,8 +18,6 @@ from typing import Callable, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from diffpose_tpu.train.state import TrainState
-
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
