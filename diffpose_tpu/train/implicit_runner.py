@@ -1,0 +1,167 @@
+"""Implicit-pose runner: IGCN fixed-point model inside the training/eval
+lifecycle (capability parity with reference ``runners/implicit_pose.py``).
+
+``use_implicit=False`` degrades to the standard diffusion runner, matching
+the reference's model-selection flag (``implicit_pose.py:139-145``).  The
+reference's dynamic chunk-size machinery is replaced by static shapes +
+sharding (see §2.6 of the survey).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpose_tpu.config import Config, ImplicitConfig
+from diffpose_tpu.metrics import (
+    AverageMeter,
+    accumulate_action_errors,
+    define_error_list,
+    summarize_action_errors,
+)
+from diffpose_tpu.models.igcn import IGCN
+from diffpose_tpu.train.implicit_steps import (
+    make_implicit_eval_step,
+    make_implicit_train_step,
+)
+from diffpose_tpu.train.state import TrainState
+from diffpose_tpu.train.trainer import DiffposeRunner
+from diffpose_tpu.train.optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class ImplicitRunner(DiffposeRunner):
+    def __init__(self, config: Config, *, use_implicit: bool = True, **kwargs):
+        super().__init__(config, **kwargs)
+        self.use_implicit = use_implicit
+        self.fp_iterations: list = []
+        self._model_state_init = None
+
+    def create_diffusion_model(self, model_path: Optional[str] = None):
+        if not self.use_implicit:
+            return super().create_diffusion_model(model_path)
+        m = self.config.model
+        imp = self.config.implicit or ImplicitConfig()
+        self.model_diff = IGCN(
+            basis=self.basis,
+            hid_dim=m.hid_dim,
+            coords_in=m.coords_dim[0],
+            coords_out=m.coords_dim[1],
+            num_layers=m.num_layer,
+            num_heads=m.n_head,
+            dropout_rate=m.dropout,
+            n_pts=m.n_pts,
+            solver=imp.solver,
+            max_iterations=imp.max_iterations,
+            min_iterations=imp.min_iterations,
+            tolerance=imp.tolerance,
+            anderson_m=imp.anderson_m,
+            anderson_beta=imp.anderson_beta,
+            anderson_lambda=imp.anderson_lambda,
+        )
+        variables = self.model_diff.init(
+            {"params": self._next_key()},
+            jnp.zeros((2, m.n_pts, m.coords_dim[0])),
+            jnp.zeros((2,)),
+        )
+        self._params_diff_init = variables["params"]
+        self._model_state_init = variables["batch_stats"]
+        if model_path:
+            logger.warning(
+                "torch IGCN checkpoint conversion not wired for %s; starting fresh",
+                model_path,
+            )
+        return self.model_diff
+
+    def init_state(self, optimizer) -> TrainState:
+        if not self.use_implicit:
+            return super().init_state(optimizer)
+        from diffpose_tpu.models import ema_register
+
+        params = self._params_diff_init
+        ema = ema_register(params) if self.config.model.ema else None
+        return TrainState.create(
+            params, optimizer.init(params), ema_params=ema,
+            model_state=self._model_state_init,
+        )
+
+    def _build_train_step(self, steps_per_epoch: int):
+        if not self.use_implicit:
+            return super()._build_train_step(steps_per_epoch)
+        o = self.config.optim
+        optimizer = make_optimizer(
+            optimizer=o.optimizer, lr=o.lr, lr_gamma=o.lr_gamma,
+            decay_epochs=o.decay, steps_per_epoch=steps_per_epoch,
+            grad_clip=o.grad_clip, eps=o.eps,
+        )
+        ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        step_fn = jax.jit(
+            make_implicit_train_step(
+                self.model_diff, optimizer, self.betas, ema_mu=ema_mu, mask=self.mask
+            ),
+            donate_argnums=(0,),
+        )
+        return optimizer, step_fn
+
+    def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
+        if not self.use_implicit:
+            return super().evaluate(is_train=is_train, state=state)
+        assert self.model_diff is not None and self.model_pose is not None
+        assert self.test_data is not None and self.pose_params is not None
+        t_cfg = self.config.testing
+
+        if state is None:
+            if self.state is None:
+                self.state = TrainState.create(
+                    self._params_diff_init, opt_state=(),
+                    model_state=self._model_state_init,
+                )
+            state = self.state
+
+        eval_fn = jax.jit(
+            make_implicit_eval_step(
+                self.model_diff, self.model_pose,
+                t_infer=t_cfg.test_num_diffusion_timesteps,
+                test_times=t_cfg.test_times, mask=self.mask,
+                use_ema=self.use_ema_eval,
+            )
+        )
+
+        loader = self._make_loader(self.test_data, shuffle=False)
+        error_sum = define_error_list(list(self.test_data.actions))
+        p1_meter, p2_meter = AverageMeter(), AverageMeter()
+        self.inference_times, self.fp_iterations = [], []
+        self.eval_frames = 0
+
+        for batch in loader.epoch(0):
+            t0 = time.time()
+            p1_b, p2_b, _, iters = eval_fn(state, self.pose_params, batch, self._next_key())
+            p1_b, p2_b = np.asarray(p1_b), np.asarray(p2_b)
+            self.inference_times.append(time.time() - t0)
+            self.fp_iterations.append(int(iters))
+
+            valid = np.asarray(batch["valid"])
+            ids = np.asarray(batch["action_ids"])[valid]
+            names = [self.test_data.actions[i] for i in ids]
+            self.eval_frames += int(valid.sum())
+            if names:
+                accumulate_action_errors(
+                    error_sum, p1_b[valid], p2_b[valid], names,
+                    num_joints=self.config.model.n_pts,
+                    reference_compat=self.reference_compat,
+                )
+                p1_meter.update(float(p1_b[valid].mean()) * 1000.0, len(names))
+                p2_meter.update(float(p2_b[valid].mean()) * 1000.0, len(names))
+
+        logger.info(
+            "MPJPE: %.4f | P-MPJPE: %.4f | mean fp iterations: %.1f",
+            p1_meter.avg, p2_meter.avg,
+            float(np.mean(self.fp_iterations)) if self.fp_iterations else 0.0,
+        )
+        return summarize_action_errors(error_sum, print_table=not is_train)

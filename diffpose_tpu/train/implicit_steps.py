@@ -1,0 +1,134 @@
+"""Train/eval steps for the implicit (IGCN) model.
+
+Differences from the standard steps (reference ``runners/implicit_pose.py``):
+
+* the model forward is a fixed-point solve returning ``(ε̂, aux)`` and
+  mutating BatchNorm running stats (threaded through
+  ``TrainState.model_state``);
+* evaluation skips the DDIM loop entirely — ONE direct forward at
+  ``t = test_num_diffusion_timesteps`` (``implicit_pose.py:523-526``);
+* no chunked batching: XLA static shapes + mesh sharding replace the
+  reference's GPU-memory chunking machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffpose_tpu.data.gmm import sample_gmm_batch, sample_gmm_batch_per_sample
+from diffpose_tpu.diffusion.ddim import antithetic_timesteps, q_sample
+from diffpose_tpu.metrics import mpjpe_per_sample, p_mpjpe_per_sample
+from diffpose_tpu.models.ema import ema_update
+from diffpose_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_implicit_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    betas: np.ndarray,
+    *,
+    ema_mu: Optional[float] = 0.999,
+    mask: Optional[Array] = None,
+    axis_name: Optional[str] = None,
+):
+    num_timesteps = len(betas)
+
+    def train_step(state: TrainState, batch: dict, key: Array):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+
+        uvxyz, noise_scale, _ = sample_gmm_batch(
+            k_gmm, batch["poses_2d_gmm"], batch["poses_3d"]
+        )
+        n = uvxyz.shape[0]
+        t = antithetic_timesteps(k_t, n, num_timesteps)
+        e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
+        x_t = q_sample(uvxyz, t, e, betas)
+
+        def loss_fn(params):
+            (eps, aux), updates = model.apply(
+                {"params": params, "batch_stats": state.model_state},
+                x_t, t.astype(jnp.float32), mask,
+                train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
+            )
+            loss = jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))
+            return loss, (aux, updates["batch_stats"])
+
+        (loss, (aux, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            new_model_state = jax.lax.pmean(new_model_state, axis_name)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None and ema_mu is not None:
+            ema_params = ema_update(ema_params, params, ema_mu)
+
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            model_state=new_model_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "fp_iterations": aux["iterations"],
+            "fp_residual": aux["residual"],
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_implicit_eval_step(
+    implicit_model,
+    pose_model,
+    *,
+    t_infer: int,
+    test_times: int = 1,
+    mask: Optional[Array] = None,
+    use_ema: bool = False,
+):
+    """Direct-inference eval: lift → ONE fixed-point solve → hypothesis mean."""
+
+    def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        k_gmm, _ = jax.random.split(key)
+
+        _, _, input_2d = sample_gmm_batch_per_sample(
+            k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
+        )
+        xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
+        xyz = xyz - xyz[:, :1, :]
+        uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
+        uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
+
+        t_vec = jnp.full((uvxyz.shape[0],), float(t_infer), uvxyz.dtype)
+        out, aux = implicit_model.apply(
+            {"params": params, "batch_stats": state.model_state},
+            uvxyz, t_vec, mask, differentiable=False,
+        )
+        out = out.reshape(test_times, -1, out.shape[1], out.shape[2]).mean(axis=0)
+
+        pred_xyz = out[..., 2:]
+        pred_xyz = pred_xyz - pred_xyz[:, :1, :]
+        target = batch["poses_3d"] - batch["poses_3d"][:, :1, :]
+        p1 = mpjpe_per_sample(pred_xyz, target)
+        p2 = p_mpjpe_per_sample(pred_xyz, target)
+        return p1, p2, pred_xyz, aux["iterations"]
+
+    return eval_step

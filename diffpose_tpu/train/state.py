@@ -20,9 +20,10 @@ class TrainState:
     ema_params: Optional[Any]
     step: jax.Array          # int32 scalar
     epoch: jax.Array         # int32 scalar
+    model_state: Any = None  # mutable collections (e.g. IGCN batch_stats)
 
     @classmethod
-    def create(cls, params, opt_state, ema_params=None):
+    def create(cls, params, opt_state, ema_params=None, model_state=None):
         import jax.numpy as jnp
 
         return cls(
@@ -31,4 +32,5 @@ class TrainState:
             ema_params=ema_params,
             step=jnp.zeros((), jnp.int32),
             epoch=jnp.zeros((), jnp.int32),
+            model_state=model_state,
         )
