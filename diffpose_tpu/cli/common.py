@@ -1,0 +1,132 @@
+"""Shared CLI plumbing: logging, log directories, seeding, mesh setup.
+
+Mirrors the reference main scripts' behavior
+(``main_diffpose_frame.py:93-160``): log-dir create/overwrite with ``--ni``
+non-interactive consent, dual stream+file logging handlers with de-dup,
+config snapshot dump, and global seeding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def add_common_flags(parser: argparse.ArgumentParser):
+    parser.add_argument("--seed", type=int, default=19960903, help="Random seed")
+    parser.add_argument("--config", type=str, required=True, help="Path to the config file")
+    parser.add_argument("--exp", type=str, default="exp", help="Path for saving running related data.")
+    parser.add_argument("--doc", type=str, required=True,
+                        help="A string for documentation purpose. Will be the name of the log folder.")
+    parser.add_argument("--verbose", type=str, default="info",
+                        help="Verbose level: info | debug | warning | critical")
+    parser.add_argument("--ni", action="store_true",
+                        help="No interaction. Suitable for batch launchers")
+    parser.add_argument("--actions", default="*", type=str, metavar="LIST",
+                        help="actions to train/test on, separated by comma, or * for all")
+    # diffusion process
+    parser.add_argument("--skip_type", type=str, default="uniform",
+                        help="skip according to (uniform or quad(quadratic))")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="eta used to control the variances of sigma")
+    parser.add_argument("--downsample", default=1, type=int, metavar="FACTOR",
+                        help="downsample frame rate by factor")
+    # pretrained models
+    parser.add_argument("--model_diff_path", default=None, type=str,
+                        help="path of a pretrained diffusion model (.pth or orbax)")
+    parser.add_argument("--model_pose_path", default=None, type=str,
+                        help="path of a pretrained pose lifter")
+    parser.add_argument("--train", action="store_true", help="train or evaluate")
+    parser.add_argument("--resume", action="store_true", help="resume from the log dir checkpoint")
+    # training hyperparameters (reference semantics: these ALWAYS override
+    # the YAML — main_diffpose_frame.py:88-91)
+    parser.add_argument("--batch_size", default=None, type=int, metavar="N")
+    parser.add_argument("--lr_gamma", default=None, type=float, metavar="N")
+    parser.add_argument("--lr", default=None, type=float, metavar="N")
+    parser.add_argument("--decay", default=None, type=int, metavar="N")
+    # test hyperparameters
+    parser.add_argument("--test_times", default=None, type=int, metavar="N")
+    parser.add_argument("--test_timesteps", default=None, type=int, metavar="N")
+    parser.add_argument("--test_num_diffusion_timesteps", default=None, type=int, metavar="N")
+    parser.add_argument("--track_metrics", action="store_true",
+                        help="Log computational metrics (time, throughput, iterations)")
+    # TPU-native additions
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all local devices (data mesh axis)")
+    parser.add_argument("--use_ema_eval", action="store_true",
+                        help="evaluate the EMA shadow weights instead of the live weights")
+    parser.add_argument("--synthetic_frames", default=0, type=int,
+                        help="use a synthetic dataset of N frames instead of the npz files (smoke runs)")
+    return parser
+
+
+def setup_experiment(args):
+    """Log dir + logging + config; returns the loaded Config."""
+    from diffpose_tpu.config import load_config, save_config
+
+    args.log_path = os.path.join(args.exp, args.doc)
+
+    overrides = {}
+    for k in ("batch_size", "lr", "lr_gamma", "decay"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    config = load_config(args.config, cli_overrides=overrides)
+    for k in ("test_times", "test_timesteps", "test_num_diffusion_timesteps"):
+        v = getattr(args, k)
+        if v is not None:
+            setattr(config.testing, k, v)
+
+    if args.train and not args.resume:
+        if os.path.exists(args.log_path):
+            overwrite = args.ni or _ask_overwrite()
+            if not overwrite:
+                print("Folder exists. Program halted.")
+                sys.exit(0)
+            shutil.rmtree(args.log_path)
+        os.makedirs(args.log_path, exist_ok=True)
+        save_config(config, os.path.join(args.log_path, "config.yml"))
+    else:
+        os.makedirs(args.log_path, exist_ok=True)
+
+    level = getattr(logging, args.verbose.upper(), None)
+    if not isinstance(level, int):
+        raise ValueError(f"level {args.verbose} not supported")
+    handler1 = logging.StreamHandler()
+    handler2 = logging.FileHandler(os.path.join(args.log_path, "stdout.txt"))
+    formatter = logging.Formatter(
+        "%(levelname)s - %(filename)s - %(asctime)s - %(message)s"
+    )
+    handler1.setFormatter(formatter)
+    handler2.setFormatter(formatter)
+    logger = logging.getLogger()
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+    logger.addHandler(handler1)
+    logger.addHandler(handler2)
+    logger.setLevel(level)
+
+    np.random.seed(args.seed)
+    return config
+
+
+def _ask_overwrite() -> bool:
+    response = input("Folder already exists. Overwrite? (Y/N)")
+    return response.upper() == "Y"
+
+
+def make_mesh_if_requested(args):
+    if not getattr(args, "data_parallel", False):
+        return None
+    from diffpose_tpu.parallel import make_mesh
+
+    return make_mesh()
+
+
+def resolve_action_filter(args):
+    return None if args.actions == "*" else args.actions.split(",")

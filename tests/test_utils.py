@@ -1,0 +1,65 @@
+import os
+
+import numpy as np
+
+from diffpose_tpu.utils import Logger, LoggerMonitor, MetricsTracker
+
+
+def test_tsv_logger_write_and_resume(tmp_path):
+    path = str(tmp_path / "log.txt")
+    logger = Logger(path, title="run")
+    logger.set_names(["epoch", "loss", "p1"])
+    logger.append([0, 51.2, 60.1])
+    logger.append([1, 44.8, 55.3])
+    logger.close()
+
+    resumed = Logger(path, title="run", resume=True)
+    assert resumed.names == ["epoch", "loss", "p1"]
+    assert len(resumed.numbers["loss"]) == 2
+    assert float(resumed.numbers["loss"][1]) == 44.8
+    resumed.append([2, 40.0, 50.0])
+    resumed.close()
+
+    again = Logger(path, resume=True)
+    assert len(again.numbers["epoch"]) == 3
+    again.close()
+
+    monitor = LoggerMonitor({"run": path})
+    assert monitor.loggers[0].names == ["epoch", "loss", "p1"]
+
+
+def test_metrics_tracker_summary(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    tracker = MetricsTracker()
+    for _ in range(3):
+        with tracker.time_block(jnp.ones((4,))):
+            _ = jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    tracker.record_memory()
+    tracker.diffusion_step_count = 2
+    s = tracker.summary(frames_per_call=64)
+    assert s["time_total"] > 0 and s["frames_per_second"] > 0
+    assert s["diffusion_steps"] == 2
+
+    out = tmp_path / "perf.txt"
+    tracker.write(str(out), frames_per_call=64)
+    text = out.read_text()
+    assert "Performance Metrics" in text and "Times:" in text
+
+
+def test_render_animation_gif(tmp_path):
+    from diffpose_tpu.data.h36m import H36M_32_PARENTS
+    from diffpose_tpu.skeleton import Skeleton
+    from diffpose_tpu.utils.visualization import render_animation
+
+    sk = Skeleton([-1, 0, 1, 0, 3], [1, 2], [3, 4])
+    frames = 4
+    kps = np.random.default_rng(0).uniform(0, 100, size=(frames, 5, 2))
+    pose = np.random.default_rng(1).normal(size=(frames, 5, 3)) * 0.2
+    out = str(tmp_path / "anim.gif")
+    render_animation(
+        kps, {"ours": pose}, sk, fps=5, bitrate=500, azim=70.0,
+        output=out, viewport=(100, 100), limit=3,
+    )
+    assert os.path.getsize(out) > 0
