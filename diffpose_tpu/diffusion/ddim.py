@@ -68,7 +68,8 @@ def q_sample(x0: Array, t: Array, noise: Array, betas) -> Array:
     ab = np.cumprod(1.0 - np.asarray(betas, np.float64))
     sqrt_ab = jnp.asarray(np.sqrt(ab), x0.dtype)
     sqrt_1mab = jnp.asarray(np.sqrt(1.0 - ab), x0.dtype)
-    return x0 * sqrt_ab[t].reshape(-1, 1, 1) + noise * sqrt_1mab[t].reshape(-1, 1, 1)
+    bshape = (-1,) + (1,) * (x0.ndim - 1)  # rank-agnostic (frame or video)
+    return x0 * sqrt_ab[t].reshape(bshape) + noise * sqrt_1mab[t].reshape(bshape)
 
 
 def ddim_sample(
