@@ -22,6 +22,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
+from diffpose_tpu import native
 from diffpose_tpu.data.pipeline import FlatDataset
 
 
@@ -79,9 +80,11 @@ class BatchLoader:
                 + np.int64(epoch) * 97531
                 + np.int64(self.seed) * 1000003
             ).astype(np.uint32).astype(np.int32)
+            # Batch assembly via the native multithreaded row-gather when
+            # the library is available (numpy fancy-indexing fallback).
             yield {
-                "poses_3d": self.dataset.poses_3d[sel],
-                "poses_2d_gmm": self.dataset.poses_2d_gmm[sel],
+                "poses_3d": native.gather_rows(self.dataset.poses_3d, sel),
+                "poses_2d_gmm": native.gather_rows(self.dataset.poses_2d_gmm, sel),
                 "action_ids": self.dataset.action_ids[sel],
                 "camera_para": self.dataset.camera_para[sel],
                 "valid": valid[lo:hi],
