@@ -167,6 +167,24 @@ class ResChebGC(nn.Module):
         return x + out
 
 
+class ChebNet(nn.Module):
+    """Plain two-conv graph net (reference ``ChebNet``, ChebConv.py:168-178)."""
+
+    features: int
+    hid_dim: int
+    basis: Any
+    dropout_rate: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        x = GraphConvBlock(self.hid_dim, self.basis, self.dropout_rate, name="gconv1")(
+            x, train=train
+        )
+        return GraphConvBlock(self.features, self.basis, self.dropout_rate, name="gconv2")(
+            x, train=train
+        )
+
+
 class ResChebGCDiff(nn.Module):
     """Residual block with timestep embedding injected between the convs.
 
@@ -253,6 +271,25 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
         return TorchDense(d, name="out")(out)
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Classic transformer FFN (reference ``models/GraFormer.py:143-155``).
+
+    Defined-but-unused in the reference's GraAttenLayer (the FFN slot is a
+    GraphNet); kept for API parity and used by the temporal blocks of the
+    video model family.
+    """
+
+    d_ff: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool = False) -> Array:
+        d_model = x.shape[-1]
+        y = nn.relu(TorchDense(self.d_ff, name="w1")(x))
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return TorchDense(d_model, name="w2")(y)
 
 
 class GraphNet(nn.Module):
