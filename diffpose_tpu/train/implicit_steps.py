@@ -102,12 +102,13 @@ def make_implicit_eval_step(
     test_times: int = 1,
     mask: Optional[Array] = None,
     use_ema: bool = False,
+    gmm_base_seed: int = 0,
 ):
     """Direct-inference eval: lift → ONE fixed-point solve → hypothesis mean."""
 
     def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
-        k_gmm, _ = jax.random.split(key)
+        k_gmm = jax.random.PRNGKey(gmm_base_seed)
 
         _, _, input_2d = sample_gmm_batch_per_sample(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]

@@ -112,6 +112,7 @@ def make_eval_step(
     mask: Optional[Array] = None,
     add_start_noise: bool = False,
     use_ema: bool = False,
+    gmm_base_seed: int = 0,
 ):
     """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
 
@@ -129,10 +130,13 @@ def make_eval_step(
 
     def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
-        k_gmm, k_noise, k_ddim = jax.random.split(key, 3)
+        k_noise, k_ddim = jax.random.split(key)
 
-        # Per-sample-keyed kernel draw → results are identical regardless of
-        # how the batch is sharded across chips (parity across topologies).
+        # Per-sample-keyed kernel draw from a FIXED base key → the draw
+        # depends only on the loader's per-sample seeds, so results are
+        # identical regardless of shard layout, batch grouping, or how many
+        # dispatch keys the host consumed.
+        k_gmm = jax.random.PRNGKey(gmm_base_seed)
         _, noise_scale, input_2d = sample_gmm_batch_per_sample(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
         )
