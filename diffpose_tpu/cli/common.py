@@ -46,6 +46,8 @@ def add_common_flags(parser: argparse.ArgumentParser):
     # training hyperparameters (reference semantics: these ALWAYS override
     # the YAML — main_diffpose_frame.py:88-91)
     parser.add_argument("--batch_size", default=None, type=int, metavar="N")
+    parser.add_argument("--n_epochs", default=None, type=int, metavar="N",
+                        help="override training.n_epochs (TPU-native addition)")
     parser.add_argument("--lr_gamma", default=None, type=float, metavar="N")
     parser.add_argument("--lr", default=None, type=float, metavar="N")
     parser.add_argument("--decay", default=None, type=int, metavar="N")
@@ -81,6 +83,8 @@ def setup_experiment(args):
         v = getattr(args, k)
         if v is not None:
             setattr(config.testing, k, v)
+    if args.n_epochs is not None:
+        config.training.n_epochs = args.n_epochs
 
     if args.train and not args.resume:
         if os.path.exists(args.log_path):

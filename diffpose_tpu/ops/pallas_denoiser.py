@@ -70,11 +70,16 @@ def _cheb(z, w3, bias, terms, n_pts):
     return jnp.stack(rows)
 
 
-def _lap_mix(lap, z, n_pts):
-    # y[n] = Σ_m lap[n, m] · z[m] — broadcast over the leading joint dim.
+def _lap_mix(lap_ref, layer, z, n_pts):
+    # y[n] = Σ_m lap[n, m] · z[m] with scalar coefficients read from the
+    # (dynamic, learned) adjacency — Mosaic supports scalar·vector scaled
+    # adds but not rank-expanding reshapes of small vectors.
     rows = []
     for n in range(n_pts):
-        rows.append(jnp.sum(lap[n][:, None, None] * z, axis=0))
+        acc = lap_ref[layer, n, 0] * z[0]
+        for m in range(1, n_pts):
+            acc = acc + lap_ref[layer, n, m] * z[m]
+        rows.append(acc)
     return jnp.stack(rows)
 
 
@@ -112,7 +117,7 @@ def _denoiser_kernel(
 
         att_rows = []
         for n in range(n_pts):
-            p = q[n][None] * k                                    # [17, TB, H]
+            p = q[n:n + 1] * k                                    # [17, TB, H]
             s = jnp.dot(
                 p.reshape(n_pts * tb, h_dim), seg_c,
                 preferred_element_type=jnp.float32,
@@ -135,14 +140,13 @@ def _denoiser_kernel(
 
         # ---- GraphNet sublayer ----
         y = _layer_norm(h, ln2s_ref[l], ln2b_ref[l], h_dim)
-        lap = lap_ref[l]
-        y = _lap_mix(lap, y, n_pts)
+        y = _lap_mix(lap_ref, l, y, n_pts)
         y = jax.nn.relu(
             jnp.dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l],
                     preferred_element_type=jnp.float32)
             + bfc1_ref[l]
         ).reshape(n_pts, tb, 2 * h_dim)
-        y = _lap_mix(lap, y, n_pts)
+        y = _lap_mix(lap_ref, l, y, n_pts)
         y = (
             jnp.dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l],
                     preferred_element_type=jnp.float32)
@@ -152,7 +156,7 @@ def _denoiser_kernel(
 
         # ---- residual Chebyshev block with timestep injection ----
         u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts))
-        u = u + tp_ref[l][None]
+        u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
         u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts))
         h = h + u
 

@@ -11,7 +11,7 @@ def test_main_frame_synthetic_train(tmp_path):
     rc = main_frame.main([
         "--config", "configs/human36m_diffpose_uvxyz_gt.yml",
         "--doc", "smoke", "--exp", str(tmp_path),
-        "--train", "--ni",
+        "--train", "--ni", "--n_epochs", "2",
         "--synthetic_frames", "128", "--batch_size", "64",
         "--lr", "0.001",
     ])
