@@ -53,12 +53,12 @@ def _layer_norm(z, scale, bias, h_dim):
     return scale * c / (jnp.sqrt(var) + 1e-6) + bias
 
 
-def _cheb(z, w3, bias, terms, n_pts):
+def _cheb(z, w3, bias, terms, n_pts, precision=None):
     tb = z.shape[1]
     c = z.shape[2]
     zf = z.reshape(n_pts * tb, c)
     u = [
-        jnp.dot(zf, w3[k], preferred_element_type=jnp.float32).reshape(n_pts, tb, -1)
+        jnp.dot(zf, w3[k], preferred_element_type=jnp.float32, precision=precision).reshape(n_pts, tb, -1)
         for k in range(w3.shape[0])
     ]
     rows = []
@@ -94,20 +94,20 @@ def _denoiser_kernel(
     wout_ref, bout_ref,
     seg_ref, segt_ref,
     o_ref,
-    *, terms, n_pts, num_layers, num_heads, h_dim,
+    *, terms, n_pts, num_layers, num_heads, h_dim, precision,
 ):
     tb = x_ref.shape[1]
     seg_c = seg_ref[...]      # [H, heads], holds 1/sqrt(dk)
     segt_c = segt_ref[...]    # [heads, H]
 
-    h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts)
+    h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts, precision)
 
     for l in range(num_layers):
         # ---- attention sublayer ----
         y = _layer_norm(h, ln1s_ref[l], ln1b_ref[l], h_dim)
         qkv = (
             jnp.dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=precision)
             + bqkv_ref[l]
         )
         qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
@@ -120,20 +120,20 @@ def _denoiser_kernel(
             p = q[n:n + 1] * k                                    # [17, TB, H]
             s = jnp.dot(
                 p.reshape(n_pts * tb, h_dim), seg_c,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             ).reshape(n_pts, tb, num_heads)                       # scores over keys
             smax = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - smax)
             probs = e / jnp.sum(e, axis=0, keepdims=True)
             w = jnp.dot(
                 probs.reshape(n_pts * tb, num_heads), segt_c,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=precision,
             ).reshape(n_pts, tb, h_dim)
             att_rows.append(jnp.sum(w * v, axis=0))               # [TB, H]
         att = jnp.stack(att_rows)
         att = (
             jnp.dot(att.reshape(n_pts * tb, h_dim), wao_ref[l],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=precision)
             + bao_ref[l]
         ).reshape(n_pts, tb, h_dim)
         h = h + att
@@ -143,24 +143,24 @@ def _denoiser_kernel(
         y = _lap_mix(lap_ref, l, y, n_pts)
         y = jax.nn.relu(
             jnp.dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=precision)
             + bfc1_ref[l]
         ).reshape(n_pts, tb, 2 * h_dim)
         y = _lap_mix(lap_ref, l, y, n_pts)
         y = (
             jnp.dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=precision)
             + bfc2_ref[l]
         ).reshape(n_pts, tb, h_dim)
         h = h + y
 
         # ---- residual Chebyshev block with timestep injection ----
-        u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts))
+        u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts, precision))
         u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
-        u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts))
+        u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
         h = h + u
 
-    o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts)
+    o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts, precision)
 
 
 def make_pallas_denoiser(
@@ -172,6 +172,7 @@ def make_pallas_denoiser(
     hid_dim: int = 96,
     block_b: int = 128,
     interpret: bool = False,
+    precision=None,
 ):
     """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
 
@@ -231,7 +232,7 @@ def make_pallas_denoiser(
     kernel = functools.partial(
         _denoiser_kernel,
         terms=terms, n_pts=n_pts, num_layers=num_layers,
-        num_heads=num_heads, h_dim=hid_dim,
+        num_heads=num_heads, h_dim=hid_dim, precision=precision,
     )
     seg_j = jnp.asarray(seg)
     segt_j = jnp.asarray(segt)
