@@ -73,6 +73,42 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_implicit_train_step(
+    model,
+    optimizer,
+    betas,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    ema_mu: Optional[float] = 0.999,
+    mask=None,
+    donate: bool = True,
+) -> Callable:
+    """Data-parallel IGCN training: grads, loss AND BatchNorm batch stats
+    are pmean-reduced over the mesh axis (ICI)."""
+    from diffpose_tpu.train.implicit_steps import make_implicit_train_step
+
+    local_step = make_implicit_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis
+    )
+
+    keys = ("poses_2d_gmm", "poses_3d")
+    batch_spec = P(axis)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), {k: batch_spec for k in keys}, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, key):
+        return jitted(state, {k: batch[k] for k in keys}, key)
+
+    return step
+
+
 def make_sharded_eval_step(
     diff_model,
     pose_model,
