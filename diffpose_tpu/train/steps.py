@@ -113,8 +113,13 @@ def make_eval_step(
     add_start_noise: bool = False,
     use_ema: bool = False,
     gmm_base_seed: int = 0,
+    denoise_override: Optional[Callable] = None,
 ):
     """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
+
+    ``denoise_override(x, t) → ε̂`` substitutes the denoiser forward (e.g.
+    the fused Pallas kernel built from the same weights); the module path
+    is the default.
 
     Reference protocol (``runners/diffpose_frame.py:330-391``): draw a GMM
     kernel for the 2D input, lift with GCNPose, root-center, concatenate to
@@ -152,6 +157,8 @@ def make_eval_step(
             uvxyz = q_sample(uvxyz, t0, e, betas)
 
         def denoise(x, t):
+            if denoise_override is not None:
+                return denoise_override(x, t)
             return diff_model.apply({"params": params}, x, t, mask)
 
         out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=k_ddim)

@@ -61,6 +61,7 @@ class DiffposeRunner:
         downsample: int = 1,
         action_filter=None,
         eval_sweep: int = 1,
+        denoiser_impl: str = "module",  # "module" | "pallas"
     ):
         self.config = config
         self.seed = seed
@@ -75,6 +76,7 @@ class DiffposeRunner:
         # >1: run this many eval batches per device dispatch (lax.map) —
         # amortizes per-execution host overhead; results are identical.
         self.eval_sweep = eval_sweep
+        self.denoiser_impl = denoiser_impl
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -312,6 +314,25 @@ class DiffposeRunner:
                 self.state = TrainState.create(self._params_diff_init, opt_state=(), ema_params=None)
             state = self.state
 
+        denoise_override = None
+        if self.denoiser_impl == "pallas" and self.mesh is None:
+            # Build the fused whole-network kernel from the exact weights
+            # under evaluation (EMA shadow or live), f32-precision dots.
+            from diffpose_tpu.ops.pallas_denoiser import make_pallas_denoiser
+
+            eval_params = (
+                state.ema_params
+                if (self.use_ema_eval and state.ema_params is not None)
+                else state.params
+            )
+            m = self.config.model
+            denoise_override = make_pallas_denoiser(
+                jax.tree_util.tree_map(np.asarray, eval_params),
+                self.basis,
+                num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
         if self.mesh is not None:
             eval_fn = make_sharded_eval_step(
                 self.model_diff, self.model_pose, self.betas, seq, self.mesh,
@@ -324,6 +345,7 @@ class DiffposeRunner:
                     self.model_diff, self.model_pose, self.betas, seq,
                     test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                     use_ema=self.use_ema_eval,
+                    denoise_override=denoise_override,
                 )
             )
 
@@ -357,6 +379,7 @@ class DiffposeRunner:
                 self.model_diff, self.model_pose, self.betas, seq,
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                 use_ema=self.use_ema_eval,
+                denoise_override=denoise_override,
             )
             sweep_fn = jax.jit(
                 lambda st, pp, batches, ks: jax.lax.map(
