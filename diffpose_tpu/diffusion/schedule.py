@@ -28,6 +28,15 @@ def get_beta_schedule(
     elif beta_schedule == "sigmoid":
         x = np.linspace(-6, 6, t)
         betas = 1.0 / (np.exp(-x) + 1.0) * (beta_end - beta_start) + beta_start
+    elif beta_schedule == "cosine":
+        # Improved-DDPM cosine ᾱ schedule as in the reference's alternative
+        # sampler (common/utils_diff_b.py:17-26, incl. its double 0.008
+        # offset quirk), β clipped at 0.999.
+        steps = np.arange(t + 1, dtype=np.float64) / t + 0.008
+        alphas = np.cos((steps + 0.008) / 1.008 * np.pi / 2) ** 2
+        alphas = alphas / alphas[0]
+        betas = 1.0 - alphas[1:] / alphas[:-1]
+        betas = np.minimum(betas, 0.999)
     else:
         raise NotImplementedError(beta_schedule)
     assert betas.shape == (t,)

@@ -31,6 +31,14 @@ def test_beta_schedules_match_reference_oracle():
         np.testing.assert_allclose(got, want, atol=1e-15)
 
 
+def test_cosine_schedule_matches_reference_b_variant():
+    ref_b = load_reference_module("common.utils_diff_b")
+    want = ref_b.get_beta_schedule("cosine", 1e-4, 1e-3, 51)
+    got = get_beta_schedule("cosine", beta_start=1e-4, beta_end=1e-3,
+                            num_diffusion_timesteps=51)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_compute_alpha_matches_reference_oracle():
     ref = load_reference_module("common.utils_diff")
     import torch
