@@ -1,0 +1,81 @@
+"""Training step for the spatio-temporal (video) denoiser.
+
+Same GMM-diffusion objective as the frame model, applied per frame of an
+``[B, F, J, …]`` window: per-joint GMM kernel draws for every frame, one
+diffusion timestep per *window* (the whole window is noised coherently,
+the standard choice for temporal diffusion), ε-MSE summed over frames,
+joints and coords.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffpose_tpu.data.gmm import sample_gmm_batch
+from diffpose_tpu.diffusion.ddim import antithetic_timesteps, q_sample
+from diffpose_tpu.models.ema import ema_update
+from diffpose_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_video_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    betas: np.ndarray,
+    *,
+    ema_mu: Optional[float] = 0.999,
+    mask: Optional[Array] = None,
+    axis_name: Optional[str] = None,
+):
+    num_timesteps = len(betas)
+
+    def train_step(state: TrainState, batch: dict, key: Array):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+
+        p3 = batch["poses_3d"]        # [B, F, J, 3]
+        gmm = batch["poses_2d_gmm"]   # [B, F, J, K, 5]
+        b, f, j = p3.shape[:3]
+
+        uvxyz, noise_scale, _ = sample_gmm_batch(
+            k_gmm, gmm.reshape(b * f, j, gmm.shape[3], 5), p3.reshape(b * f, j, 3)
+        )
+        uvxyz = uvxyz.reshape(b, f, j, 5)
+        noise_scale = noise_scale.reshape(b, f, j, 5)
+
+        t = antithetic_timesteps(k_t, b, num_timesteps)
+        e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
+        x_t = q_sample(uvxyz, t, e, betas)
+
+        def loss_fn(params):
+            eps = model.apply(
+                {"params": params}, x_t, t.astype(jnp.float32), mask,
+                train=True, rngs={"dropout": k_drop},
+            )
+            return jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2, 3)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None and ema_mu is not None:
+            ema_params = ema_update(ema_params, params, ema_mu)
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state, ema_params=ema_params,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step

@@ -84,6 +84,35 @@ def test_video_ddim_sampling_runs():
     assert xt.shape == x.shape
 
 
+def test_video_train_step_loop_reduces_loss():
+    import jax
+    from diffpose_tpu.models import ema_register
+    from diffpose_tpu.train import TrainState, make_optimizer
+    from diffpose_tpu.train.video_steps import make_video_train_step
+
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
+                              num_diffusion_timesteps=51)
+    ds = synthetic_video_dataset(num_windows=8, frames=FRAMES, seed=2)
+    model = _model()
+    x0 = jnp.zeros((8, FRAMES, 17, 5))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x0, jnp.zeros((8,)))["params"]
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+    state = TrainState.create(params, opt.init(params), ema_params=ema_register(params))
+
+    batch = {
+        "poses_3d": jnp.asarray(ds.poses_3d),
+        "poses_2d_gmm": jnp.asarray(ds.poses_2d_gmm),
+    }
+    step_fn = jax.jit(make_video_train_step(model, opt, betas))
+    losses = []
+    for i in range(12):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(100 + i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert int(state.step) == 12
+
+
 def test_video_training_step_gradients():
     import optax
 
