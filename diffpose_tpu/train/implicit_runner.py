@@ -101,12 +101,20 @@ class ImplicitRunner(DiffposeRunner):
             grad_clip=o.grad_clip, eps=o.eps,
         )
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
-        step_fn = jax.jit(
-            make_implicit_train_step(
-                self.model_diff, optimizer, self.betas, ema_mu=ema_mu, mask=self.mask
-            ),
-            donate_argnums=(0,),
-        )
+        if self.mesh is not None:
+            from diffpose_tpu.parallel.sharding import make_sharded_implicit_train_step
+
+            step_fn = make_sharded_implicit_train_step(
+                self.model_diff, optimizer, self.betas, self.mesh,
+                ema_mu=ema_mu, mask=self.mask,
+            )
+        else:
+            step_fn = jax.jit(
+                make_implicit_train_step(
+                    self.model_diff, optimizer, self.betas, ema_mu=ema_mu, mask=self.mask
+                ),
+                donate_argnums=(0,),
+            )
         return optimizer, step_fn
 
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
