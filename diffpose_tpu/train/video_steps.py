@@ -24,6 +24,64 @@ from diffpose_tpu.train.state import TrainState
 Array = jax.Array
 
 
+def make_video_eval_step(
+    model,
+    betas: np.ndarray,
+    seq,
+    *,
+    test_times: int = 1,
+    eta: float = 0.0,
+    mask: Optional[Array] = None,
+    use_ema: bool = False,
+    gmm_base_seed: int = 0,
+):
+    """Window eval: per-frame GMM 2D + zero-init xyz → DDIM over the window
+    → hypothesis mean → per-frame P1/P2 (root-centered).
+
+    The video variant starts from the observed uv with a zero xyz guess
+    (no per-frame lifter is required — the temporal context supplies the
+    prior); per-sample keyed GMM draws keep results layout-invariant.
+    """
+    from diffpose_tpu.data.gmm import sample_gmm_batch_per_sample
+    from diffpose_tpu.diffusion.ddim import ddim_sample
+    from diffpose_tpu.metrics import mpjpe_per_sample, p_mpjpe_per_sample
+
+    seq = tuple(int(s) for s in seq)
+
+    def eval_step(state: TrainState, batch: dict, key: Array):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        p3 = batch["poses_3d"]       # [B, F, J, 3]
+        gmm = batch["poses_2d_gmm"]  # [B, F, J, K, 5]
+        b, f, j = p3.shape[:3]
+
+        k_gmm = jax.random.fold_in(jax.random.PRNGKey(gmm_base_seed), 1)
+        _, _, input_2d = sample_gmm_batch_per_sample(
+            k_gmm,
+            jnp.repeat(batch["seeds"], f) * f + jnp.tile(jnp.arange(f), b),
+            gmm.reshape(b * f, j, gmm.shape[3], 5),
+            p3.reshape(b * f, j, 3),
+        )
+        input_2d = input_2d.reshape(b, f, j, 2)
+        uvxyz = jnp.concatenate([input_2d, jnp.zeros((b, f, j, 3), p3.dtype)], axis=-1)
+        uvxyz = jnp.tile(uvxyz, (test_times, 1, 1, 1))
+
+        def denoise(z, tv):
+            return model.apply({"params": params}, z, tv, mask)
+
+        out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=key)
+        out = out.reshape(test_times, b, f, j, 5).mean(axis=0)
+
+        pred = out[..., 2:]
+        pred = pred - pred[..., :1, :]
+        tgt = p3 - p3[..., :1, :]
+        # per-window, per-frame errors flattened to [B*F]
+        p1 = mpjpe_per_sample(pred.reshape(b * f, j, 3), tgt.reshape(b * f, j, 3))
+        p2 = p_mpjpe_per_sample(pred.reshape(b * f, j, 3), tgt.reshape(b * f, j, 3))
+        return p1, p2, pred
+
+    return eval_step
+
+
 def make_video_train_step(
     model,
     optimizer: optax.GradientTransformation,

@@ -113,6 +113,30 @@ def test_video_train_step_loop_reduces_loss():
     assert int(state.step) == 12
 
 
+def test_video_eval_step():
+    import jax
+    from diffpose_tpu.train import TrainState
+    from diffpose_tpu.train.video_steps import make_video_eval_step
+
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
+                              num_diffusion_timesteps=51)
+    ds = synthetic_video_dataset(num_windows=4, frames=FRAMES, seed=5)
+    model = _model()
+    x0 = jnp.zeros((4, FRAMES, 17, 5))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x0, jnp.zeros((4,)))["params"]
+    state = TrainState.create(params, opt_state=())
+    batch = {
+        "poses_3d": jnp.asarray(ds.poses_3d),
+        "poses_2d_gmm": jnp.asarray(ds.poses_2d_gmm),
+        "seeds": jnp.arange(4, dtype=jnp.int32),
+    }
+    step = jax.jit(make_video_eval_step(model, betas, (0, 6), test_times=2))
+    p1, p2, pred = step(state, batch, jax.random.PRNGKey(1))
+    assert p1.shape == (4 * FRAMES,) and p2.shape == (4 * FRAMES,)
+    assert pred.shape == (4, FRAMES, 17, 3)
+    assert np.isfinite(np.asarray(p1)).all() and np.isfinite(np.asarray(p2)).all()
+
+
 def test_video_training_step_gradients():
     import optax
 
