@@ -33,7 +33,6 @@ friendly module forward.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -10,8 +10,6 @@ ICI while queries stay sharded (exact attention).  See
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -12,7 +12,6 @@ Loss: ``‖e − ε̂‖²`` summed over joints+coords, mean over batch
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Sequence
 
 import jax
