@@ -41,6 +41,17 @@ def test_main_implicit_synthetic(tmp_path):
     assert rc == 0
 
 
+def test_compare_driver(tmp_path):
+    from diffpose_tpu.cli import compare
+
+    rc = compare.main([
+        "--config", "configs/human36m_ipose.yml",
+        "--doc", "cmp", "--exp", str(tmp_path), "--ni",
+        "--synthetic_frames", "48", "--batch_size", "48",
+    ])
+    assert rc == 0
+
+
 def test_config_cli_override_rules(tmp_path):
     from diffpose_tpu.config import load_config
 
