@@ -120,6 +120,10 @@ class ImplicitRunner(DiffposeRunner):
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         if not self.use_implicit:
             return super().evaluate(is_train=is_train, state=state)
+        with jax.default_matmul_precision(self.eval_matmul_precision):
+            return self._evaluate_implicit(is_train=is_train, state=state)
+
+    def _evaluate_implicit(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         assert self.model_diff is not None and self.model_pose is not None
         assert self.test_data is not None and self.pose_params is not None
         t_cfg = self.config.testing

@@ -62,6 +62,7 @@ class DiffposeRunner:
         action_filter=None,
         eval_sweep: int = 1,
         denoiser_impl: str = "module",  # "module" | "pallas"
+        eval_matmul_precision: str = "float32",
     ):
         self.config = config
         self.seed = seed
@@ -77,6 +78,10 @@ class DiffposeRunner:
         # amortizes per-execution host overhead; results are identical.
         self.eval_sweep = eval_sweep
         self.denoiser_impl = denoiser_impl
+        # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
+        # this model (measured, docs/PERF.md) — eval defaults to true-f32
+        # passes; set "default" to trade ~0.7 mm for speed.
+        self.eval_matmul_precision = eval_matmul_precision
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -300,6 +305,10 @@ class DiffposeRunner:
     # ------------------------------------------------------------------
 
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
+        with jax.default_matmul_precision(self.eval_matmul_precision):
+            return self._evaluate(is_train=is_train, state=state)
+
+    def _evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         assert self.model_diff is not None and self.model_pose is not None
         assert self.test_data is not None and self.pose_params is not None
         t_cfg = self.config.testing
