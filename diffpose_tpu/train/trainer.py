@@ -63,6 +63,7 @@ class DiffposeRunner:
         eval_sweep: int = 1,
         denoiser_impl: str = "module",  # "module" | "pallas"
         eval_matmul_precision: str = "float32",
+        train_matmul_precision: str = "float32",
     ):
         self.config = config
         self.seed = seed
@@ -80,8 +81,10 @@ class DiffposeRunner:
         self.denoiser_impl = denoiser_impl
         # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
         # this model (measured, docs/PERF.md) — eval defaults to true-f32
-        # passes; set "default" to trade ~0.7 mm for speed.
+        # passes; set "default" to trade ~0.7 mm for speed.  Training
+        # follows suit for parity with the reference's f32 CUDA training.
         self.eval_matmul_precision = eval_matmul_precision
+        self.train_matmul_precision = train_matmul_precision
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -246,6 +249,10 @@ class DiffposeRunner:
         return TrainState.create(params, optimizer.init(params), ema_params=ema)
 
     def train(self, resume: bool = False) -> Dict[str, list]:
+        with jax.default_matmul_precision(self.train_matmul_precision):
+            return self._train(resume=resume)
+
+    def _train(self, resume: bool = False) -> Dict[str, list]:
         assert self.model_diff is not None and self.train_data is not None
         loader = self._make_loader(self.train_data, shuffle=True)
         steps_per_epoch = len(loader)
