@@ -342,6 +342,49 @@ class GraAttenLayer(nn.Module):
         return x
 
 
+def chunked_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Optional[Array] = None,
+    chunk_size: int = 128,
+) -> Array:
+    """Query-chunked scaled-dot-product attention.
+
+    Memory-bounded equivalent of the reference's fallback in
+    ``models/eatten.py:33-75``: processes query chunks against the full
+    K/V so the full scores matrix is never materialized.  The 17-joint
+    graph never needs this (it fits VMEM outright — see the fused kernel);
+    it exists for very long temporal windows in the video family.
+
+    ``q, k, v``: [B, H, S, D]; ``mask`` broadcastable to [B, H, S, S].
+    Implemented as a ``lax.map`` over query chunks (static shapes; S must
+    be divisible by ``chunk_size`` or smaller than it).
+    """
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    if s <= chunk_size:
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        if mask is not None:
+            scores = jnp.where(mask == 0, jnp.asarray(-1e9, scores.dtype), scores)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, -1), v)
+
+    assert s % chunk_size == 0, (s, chunk_size)
+    qc = q.reshape(b, h, s // chunk_size, chunk_size, d).transpose(2, 0, 1, 3, 4)
+
+    def one(args):
+        q_chunk, idx = args
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q_chunk, k) * scale
+        if mask is not None:
+            m = jnp.broadcast_to(mask, (b, h, s, s))
+            m = jax.lax.dynamic_slice_in_dim(m, idx * chunk_size, chunk_size, axis=2)
+            scores = jnp.where(m == 0, jnp.asarray(-1e9, scores.dtype), scores)
+        return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, -1), v)
+
+    out = jax.lax.map(one, (qc, jnp.arange(s // chunk_size)))
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
+
+
 # ---------------------------------------------------------------------------
 # Timestep embedding
 # ---------------------------------------------------------------------------

@@ -1,0 +1,48 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffpose_tpu.models.layers import chunked_attention
+
+
+def _full(q, k, v, mask=None):
+    import math
+
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    if mask is not None:
+        scores = jnp.where(mask == 0, -1e9, scores)
+    return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, -1), v)
+
+
+def test_chunked_matches_full(rng):
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 4, 256, 24)).astype(np.float32))
+        for _ in range(3)
+    )
+    want = _full(q, k, v)
+    got = chunked_attention(q, k, v, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_chunked_matches_full_with_mask(rng):
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 2, 128, 16)).astype(np.float32))
+        for _ in range(3)
+    )
+    mask = jnp.asarray(rng.integers(0, 2, size=(1, 1, 1, 128)))
+    # keep at least one visible key per query
+    mask = mask.at[..., 0].set(1)
+    want = _full(q, k, v, mask)
+    got = chunked_attention(q, k, v, mask, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_small_sequence_shortcut(rng):
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(2, 4, 17, 24)).astype(np.float32))
+        for _ in range(3)
+    )
+    got = chunked_attention(q, k, v, chunk_size=128)
+    want = _full(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
