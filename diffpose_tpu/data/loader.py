@@ -26,6 +26,34 @@ from diffpose_tpu import native
 from diffpose_tpu.data.pipeline import FlatDataset
 
 
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Async host→device prefetch: keep ``size`` batches in flight.
+
+    ``jax.device_put`` is asynchronous — enqueuing the next batch's
+    transfer before the current step runs overlaps H2D with compute
+    (measured: the batch transfer costs as much as the whole
+    backward pass through this environment's tunnel; docs/PERF.md).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        return {
+            k: jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
+            for k, v in batch.items()
+        }
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class BatchLoader:
     def __init__(
         self,

@@ -272,12 +272,15 @@ class DiffposeRunner:
         best_p1, best_epoch = float("inf"), -1
         start_epoch = int(self.state.epoch)
 
+        from diffpose_tpu.data.loader import prefetch_to_device
+        from diffpose_tpu.parallel.sharding import data_sharding
+
+        sharding = data_sharding(self.mesh) if self.mesh is not None else None
         for epoch in range(start_epoch, self.config.training.n_epochs):
             epoch_loss = AverageMeter()
             t0 = time.time()
-            for i, batch in enumerate(loader.epoch(epoch)):
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
+            batches = prefetch_to_device(loader.epoch(epoch), size=2, sharding=sharding)
+            for i, batch in enumerate(batches):
                 self.state, metrics = step_fn(self.state, batch, self._next_key())
                 if i % 100 == 0:
                     # host sync only every 100 steps (the reference syncs

@@ -102,6 +102,20 @@ def test_loader_multihost_slices_partition_global_batch():
         np.testing.assert_array_equal(merged, gb["poses_3d"])
 
 
+def test_prefetch_to_device_preserves_batches():
+    from diffpose_tpu.data.loader import prefetch_to_device
+
+    ds = make_synthetic_dataset(num_frames=96, seed=8)
+    loader = BatchLoader(ds, batch_size=32, shuffle=True, seed=3)
+    plain = list(loader.epoch(0))
+    fetched = list(prefetch_to_device(loader.epoch(0), size=2))
+    assert len(plain) == len(fetched)
+    for a, b in zip(plain, fetched):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(b[k]), a[k])
+
+
 def test_pipeline_matches_reference_oracle(tmp_path, rng):
     """End-to-end host-pipeline parity on a fabricated mini-H36M npz pair."""
     from tests.oracle import load_reference_module, require_reference
