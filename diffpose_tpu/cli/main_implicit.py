@@ -33,9 +33,15 @@ def parse_args(argv=None):
     parser.add_argument("--min_iterations", type=int, default=None,
                         help="minimum iterations before convergence can trigger")
     parser.add_argument("--use_warm_start", action="store_true")
+    parser.add_argument(
+        "--detect_anomaly", action="store_true",
+        help="enable jax_debug_nans — every jitted computation is re-run "
+        "op-by-op when a NaN appears and raises at the producing op; the "
+        "JAX equivalent of torch.autograd.set_detect_anomaly "
+        "(main_implicit_pose.py:101-102, 232-234)")
     # accepted for reference-CLI compatibility; no-ops on TPU
     for flag in ("--use_memory_efficient", "--use_dynamic_chunks",
-                 "--detect_anomaly", "--expandable_segments"):
+                 "--expandable_segments"):
         parser.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     for flag in ("--process_chunk_size", "--min_chunk_size", "--max_chunk_size"):
         parser.add_argument(flag, type=int, default=None, help=argparse.SUPPRESS)
@@ -59,6 +65,11 @@ def main(argv=None) -> int:
         config.implicit.min_iterations = args.min_iterations
     if args.use_warm_start:
         config.implicit.use_warm_start = True
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        logging.info("anomaly detection on: jax_debug_nans enabled")
     for noop in ("use_dynamic_chunks", "process_chunk_size", "target_memory_usage"):
         if getattr(args, noop, None):
             logging.warning("--%s has no TPU equivalent (static shapes); ignored", noop)

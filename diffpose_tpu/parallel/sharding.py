@@ -83,19 +83,50 @@ def make_sharded_implicit_train_step(
     ema_mu: Optional[float] = 0.999,
     mask=None,
     donate: bool = True,
+    use_warm_start: bool = False,
 ) -> Callable:
     """Data-parallel IGCN training: grads, loss AND BatchNorm batch stats
-    are pmean-reduced over the mesh axis (ICI)."""
+    are pmean-reduced over the mesh axis (ICI).
+
+    ``use_warm_start``: the step takes ``(z0, z0_weight)`` extras — ``z0``
+    sharded over ``axis`` like the batch — and returns the solved fixed
+    point in ``metrics["fixed_point"]`` (still sharded, never gathered)."""
     from diffpose_tpu.train.implicit_steps import make_implicit_train_step
 
-    local_step = make_implicit_train_step(
-        model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis
+    base_step = make_implicit_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis,
+        use_warm_start=use_warm_start,
     )
 
     keys = ("poses_2d_gmm", "poses_3d")
     batch_spec = P(axis)
+
+    if use_warm_start:
+        def local_step(state, batch, key, z0, z0_weight):
+            new_state, metrics = base_step(state, batch, key, z0, z0_weight)
+            fp = metrics.pop("fixed_point")
+            return new_state, metrics, fp
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), {k: batch_spec for k in keys}, P(), batch_spec, P()),
+            out_specs=(P(), P(), batch_spec),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+        def step(state, batch, key, z0, z0_weight):
+            new_state, metrics, fp = jitted(
+                state, {k: batch[k] for k in keys}, key, z0, z0_weight
+            )
+            metrics["fixed_point"] = fp
+            return new_state, metrics
+
+        return step
+
     sharded = jax.shard_map(
-        local_step,
+        base_step,
         mesh=mesh,
         in_specs=(P(), {k: batch_spec for k in keys}, P()),
         out_specs=(P(), P()),
@@ -121,10 +152,17 @@ def make_sharded_eval_step(
     eta: float = 0.0,
     mask=None,
     use_ema: bool = False,
+    sweep: int = 1,
 ) -> Callable:
     """Multi-chip eval step: frames shard over ``axis``; hypotheses stay
     on-chip (``test_times`` replication inside the shard), per-sample P1/P2
-    come back sharded over ``axis``."""
+    come back sharded over ``axis``.
+
+    ``sweep > 1`` composes the device-side eval sweep with the mesh: the
+    step then takes ``sweep``-stacked batches (``[S, B, ...]``, frame axis 1
+    sharded over ``axis``) and a ``[S]``-stacked key array, and runs a
+    ``lax.map`` over the sweep *inside* the shard_map — ``S`` batches per
+    host dispatch per chip, identical math to ``sweep=1``."""
     from diffpose_tpu.train.steps import make_eval_step
 
     local_step = make_eval_step(
@@ -133,6 +171,28 @@ def make_sharded_eval_step(
     )
 
     keys = ("poses_2d_gmm", "poses_3d", "seeds")
+    if sweep > 1:
+        def local_sweep(state, pose_params, batches, ks):
+            return jax.lax.map(
+                lambda bk: local_step(state, pose_params, bk[0], bk[1]),
+                (batches, ks),
+            )
+
+        sweep_spec = P(None, axis)
+        sharded = jax.shard_map(
+            local_sweep,
+            mesh=mesh,
+            in_specs=(P(), P(), {k: sweep_spec for k in keys}, P()),
+            out_specs=(sweep_spec, sweep_spec, sweep_spec),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded)
+
+        def step(state, pose_params, batches, ks):
+            return jitted(state, pose_params, {k: batches[k] for k in keys}, ks)
+
+        return step
+
     batch_spec = P(axis)
     sharded = jax.shard_map(
         local_step,

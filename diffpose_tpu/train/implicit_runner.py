@@ -73,10 +73,23 @@ class ImplicitRunner(DiffposeRunner):
         self._params_diff_init = variables["params"]
         self._model_state_init = variables["batch_stats"]
         if model_path:
-            logger.warning(
-                "torch IGCN checkpoint conversion not wired for %s; starting fresh",
-                model_path,
-            )
+            logger.info("initialize implicit model from %s", model_path)
+            if model_path.endswith(".pth"):
+                from diffpose_tpu.models.convert import (
+                    load_torch_states,
+                    torch_igcn_to_variables,
+                )
+
+                torch_state, *_ = load_torch_states(model_path)
+                converted = torch_igcn_to_variables(
+                    torch_state, num_layers=m.num_layer
+                )
+                self._params_diff_init = jax.tree_util.tree_map(
+                    jnp.asarray, converted["params"]
+                )
+                self._model_state_init = jax.tree_util.tree_map(
+                    jnp.asarray, converted["batch_stats"]
+                )
         return self.model_diff
 
     def init_state(self, optimizer) -> TrainState:
@@ -101,21 +114,51 @@ class ImplicitRunner(DiffposeRunner):
             grad_clip=o.grad_clip, eps=o.eps,
         )
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        imp = self.config.implicit or ImplicitConfig()
+        warm = imp.use_warm_start
         if self.mesh is not None:
             from diffpose_tpu.parallel.sharding import make_sharded_implicit_train_step
 
             step_fn = make_sharded_implicit_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
-                ema_mu=ema_mu, mask=self.mask,
+                ema_mu=ema_mu, mask=self.mask, use_warm_start=warm,
             )
         else:
             step_fn = jax.jit(
                 make_implicit_train_step(
-                    self.model_diff, optimizer, self.betas, ema_mu=ema_mu, mask=self.mask
+                    self.model_diff, optimizer, self.betas, ema_mu=ema_mu,
+                    mask=self.mask, use_warm_start=warm,
                 ),
                 donate_argnums=(0,),
             )
+        if warm:
+            step_fn = self._wrap_warm_start(step_fn, imp.warm_start_momentum)
         return optimizer, step_fn
+
+    def _wrap_warm_start(self, raw_step, momentum: float):
+        """Carry the previous batch's fixed point into the next step — the
+        functional equivalent of the reference's ``last_fixed_point`` buffer
+        (``igcn.py:309-313``); ``.reset()`` mirrors ``reset_history``
+        (called per epoch, ``implicit_pose.py:319-320``)."""
+        m = self.config.model
+        carry = {"z0": None, "w": 0.0}
+
+        def step(state, batch, key):
+            if carry["z0"] is None:
+                n = batch["poses_3d"].shape[0]
+                carry["z0"] = jnp.zeros((n, m.n_pts, m.hid_dim))
+            new_state, metrics = raw_step(
+                state, batch, key, carry["z0"], jnp.asarray(carry["w"], jnp.float32)
+            )
+            carry["z0"] = metrics.pop("fixed_point")
+            carry["w"] = momentum
+            return new_state, metrics
+
+        def reset():
+            carry["z0"], carry["w"] = None, 0.0
+
+        step.reset = reset
+        return step
 
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         if not self.use_implicit:
@@ -136,12 +179,14 @@ class ImplicitRunner(DiffposeRunner):
                 )
             state = self.state
 
+        imp = self.config.implicit or ImplicitConfig()
+        warm = imp.use_warm_start
         eval_fn = jax.jit(
             make_implicit_eval_step(
                 self.model_diff, self.model_pose,
                 t_infer=t_cfg.test_num_diffusion_timesteps,
                 test_times=t_cfg.test_times, mask=self.mask,
-                use_ema=self.use_ema_eval,
+                use_ema=self.use_ema_eval, use_warm_start=warm,
             )
         )
 
@@ -151,9 +196,22 @@ class ImplicitRunner(DiffposeRunner):
         self.inference_times, self.fp_iterations = [], []
         self.eval_frames = 0
 
+        # Warm-start carry across eval batches (reference last_fixed_point;
+        # reset at eval entry, implicit_pose.py:466-467).
+        z0, z0_w = None, 0.0
         for batch in loader.epoch(0):
             t0 = time.time()
-            p1_b, p2_b, _, iters = eval_fn(state, self.pose_params, batch, self._next_key())
+            if warm:
+                if z0 is None:
+                    n = batch["poses_3d"].shape[0] * t_cfg.test_times
+                    z0 = jnp.zeros((n, self.config.model.n_pts, self.config.model.hid_dim))
+                p1_b, p2_b, _, iters, z0 = eval_fn(
+                    state, self.pose_params, batch, self._next_key(),
+                    z0, jnp.asarray(z0_w, jnp.float32),
+                )
+                z0_w = imp.warm_start_momentum
+            else:
+                p1_b, p2_b, _, iters = eval_fn(state, self.pose_params, batch, self._next_key())
             p1_b, p2_b = np.asarray(p1_b), np.asarray(p2_b)
             self.inference_times.append(time.time() - t0)
             self.fp_iterations.append(int(iters))

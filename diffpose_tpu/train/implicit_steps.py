@@ -37,10 +37,16 @@ def make_implicit_train_step(
     ema_mu: Optional[float] = 0.999,
     mask: Optional[Array] = None,
     axis_name: Optional[str] = None,
+    use_warm_start: bool = False,
 ):
+    """``use_warm_start=True`` threads the previous batch's fixed point in:
+    the step takes two extra args ``(z0, z0_weight)`` and its metrics carry
+    ``fixed_point`` (detached) for the caller to feed forward — the
+    reference's ``last_fixed_point`` buffer + momentum blend
+    (``igcn.py:309-313, 433``) as an explicit functional carry."""
     num_timesteps = len(betas)
 
-    def train_step(state: TrainState, batch: dict, key: Array):
+    def train_step(state: TrainState, batch: dict, key: Array, z0=None, z0_weight=None):
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
@@ -58,6 +64,7 @@ def make_implicit_train_step(
                 {"params": params, "batch_stats": state.model_state},
                 x_t, t.astype(jnp.float32), mask,
                 train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
+                z0=z0, z0_weight=z0_weight,
             )
             loss = jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))
             return loss, (aux, updates["batch_stats"])
@@ -89,6 +96,8 @@ def make_implicit_train_step(
             "fp_iterations": aux["iterations"],
             "fp_residual": aux["residual"],
         }
+        if use_warm_start:
+            metrics["fixed_point"] = jax.lax.stop_gradient(aux["fixed_point"])
         return new_state, metrics
 
     return train_step
@@ -103,10 +112,17 @@ def make_implicit_eval_step(
     mask: Optional[Array] = None,
     use_ema: bool = False,
     gmm_base_seed: int = 0,
+    use_warm_start: bool = False,
 ):
-    """Direct-inference eval: lift → ONE fixed-point solve → hypothesis mean."""
+    """Direct-inference eval: lift → ONE fixed-point solve → hypothesis mean.
 
-    def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
+    ``use_warm_start=True``: the step takes ``(z0, z0_weight)`` extras and
+    additionally returns the solved fixed point for the caller to carry to
+    the next batch (reference ``igcn.py:309-313, 433``).
+    """
+
+    def eval_step(state: TrainState, pose_params, batch: dict, key: Array,
+                  z0=None, z0_weight=None):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         k_gmm = jax.random.PRNGKey(gmm_base_seed)
 
@@ -122,6 +138,7 @@ def make_implicit_eval_step(
         out, aux = implicit_model.apply(
             {"params": params, "batch_stats": state.model_state},
             uvxyz, t_vec, mask, differentiable=False,
+            z0=z0, z0_weight=z0_weight,
         )
         out = out.reshape(test_times, -1, out.shape[1], out.shape[2]).mean(axis=0)
 
@@ -130,6 +147,8 @@ def make_implicit_eval_step(
         target = batch["poses_3d"] - batch["poses_3d"][:, :1, :]
         p1 = mpjpe_per_sample(pred_xyz, target)
         p2 = p_mpjpe_per_sample(pred_xyz, target)
+        if use_warm_start:
+            return p1, p2, pred_xyz, aux["iterations"], aux["fixed_point"]
         return p1, p2, pred_xyz, aux["iterations"]
 
     return eval_step

@@ -78,3 +78,37 @@ def test_config_ipose_has_implicit_section():
     assert cfg.implicit.solver == "anderson"
     assert cfg.implicit.anderson_m == 5
     assert cfg.training.batch_size == 512
+
+
+def test_main_implicit_detect_anomaly_flag(tmp_path):
+    """--detect_anomaly maps to jax_debug_nans (the jax equivalent of
+    torch.autograd.set_detect_anomaly, main_implicit_pose.py:232-234)."""
+    import jax
+
+    assert not jax.config.jax_debug_nans
+    try:
+        rc = main_implicit.main([
+            "--config", "configs/human36m_ipose.yml",
+            "--doc", "anom", "--exp", str(tmp_path), "--ni",
+            "--use_implicit", "--implicit_iters", "4", "--min_iterations", "2",
+            "--synthetic_frames", "32", "--batch_size", "32",
+            "--detect_anomaly",
+        ])
+        assert rc == 0
+        assert jax.config.jax_debug_nans  # flag actually engaged
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
+def test_debug_nans_catches_seeded_nan():
+    """With the anomaly flag on, a NaN produced inside a jitted computation
+    raises instead of propagating silently."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_debug_nans", True)
+    try:
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.asarray(-1.0)).block_until_ready()
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -33,3 +33,25 @@ def test_eval_sweep_matches_per_batch():
     # loader, so results must agree to float tolerance.
     np.testing.assert_allclose(p1_b, p1_a, rtol=1e-4)
     np.testing.assert_allclose(p2_b, p2_a, rtol=1e-4)
+
+
+def test_sharded_eval_sweep_matches_unsharded(rng):
+    """sweep>1 composed with the data-parallel mesh (lax.map INSIDE the
+    shard_map) must match the unsharded per-batch eval exactly
+    (VERDICT r1 item 6)."""
+    from diffpose_tpu.parallel import make_mesh
+
+    test_ds = make_synthetic_dataset(num_frames=128, seed=7)  # 8 batches of 16
+
+    def run(sweep, mesh):
+        runner = DiffposeRunner(_cfg(), seed=33, eval_sweep=sweep, mesh=mesh)
+        runner.create_diffusion_model()
+        runner.create_pose_model()
+        runner.set_data(None, test_ds)
+        return runner.evaluate(is_train=True)
+
+    p1_a, p2_a = run(1, None)
+    mesh = make_mesh((8,), ("data",))
+    p1_b, p2_b = run(4, mesh)
+    np.testing.assert_allclose(p1_b, p1_a, rtol=1e-4)
+    np.testing.assert_allclose(p2_b, p2_a, rtol=1e-4)

@@ -98,3 +98,106 @@ def test_warm_start_reduces_iterations():
     out1, aux1 = model.apply(variables, x, t)
     out2, aux2 = model.apply(variables, x, t, z0=aux1["fixed_point"])
     assert int(aux2["iterations"]) <= int(aux1["iterations"])
+
+
+def test_warm_start_momentum_blend_semantics():
+    """z0 + z0_weight must blend with the input projection exactly as the
+    reference does (igcn.py:310-311): z = w*z0 + (1-w)*gconv_input(x)."""
+    model = _model(max_iterations=5, min_iterations=5)
+    variables = _init(model)
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 17, 5))
+    t = jnp.zeros((3,))
+    z0 = jax.random.normal(jax.random.PRNGKey(9), (3, 17, 32))
+
+    # weight 0 → exact cold start (one compiled program serves both cases)
+    out_cold, _ = model.apply(variables, x, t)
+    out_w0, _ = model.apply(variables, x, t, z0=z0, z0_weight=jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(out_w0), np.asarray(out_cold), atol=1e-6)
+
+    # weight 1 → exact verbatim-z0 start
+    out_z0, _ = model.apply(variables, x, t, z0=z0)
+    out_w1, _ = model.apply(variables, x, t, z0=z0, z0_weight=jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(out_w1), np.asarray(out_z0), atol=1e-6)
+
+    # intermediate weight differs from both ends
+    out_mid, _ = model.apply(variables, x, t, z0=z0, z0_weight=jnp.asarray(0.5))
+    assert not np.allclose(np.asarray(out_mid), np.asarray(out_cold), atol=1e-4)
+    assert not np.allclose(np.asarray(out_mid), np.asarray(out_z0), atol=1e-4)
+
+
+def test_igcn_torch_checkpoint_conversion_oracle():
+    """Convert a randomly-initialized reference models.igcn.IGCN state dict
+    and match one full fixed-point solve (VERDICT r1 item 3).
+
+    Tolerance is loose-ish (1e-4) because 7 Anderson iterations through a
+    5-layer stack accumulate f32 reduction-order differences.
+    """
+    from types import SimpleNamespace
+
+    from tests.oracle import load_reference_module
+    from diffpose_tpu.models.convert import torch_igcn_to_variables
+
+    ref_igcn = load_reference_module("models.igcn")
+    chebconv = load_reference_module("models.ChebConv")
+    import torch
+
+    torch.manual_seed(42)
+    edges = torch.tensor(list(H36M_EDGES), dtype=torch.long)
+    adj = chebconv.adj_mx_from_edges(17, edges, sparse=False)
+
+    # tiny tolerance → both solvers run all max_iterations (fixed count);
+    # min_iterations is hardcoded to 10 in the reference loop (igcn.py:419).
+    # max_iter=7 > anderson_m exercises the rolling-history path (it=5,6)
+    # while staying inside the horizon where the two implementations agree
+    # bitwise-closely: the fixed-point map on RANDOM weights is
+    # non-contracting and the Anderson history becomes numerically
+    # degenerate (near-identical rows → ill-conditioned regularized solve),
+    # so beyond ~8 iterations the two trajectories decouple chaotically —
+    # verified in f64 (exact to it=9, then amplifying library-level solve
+    # differences), not a semantics gap.
+    max_iter = 7
+    mcfg = SimpleNamespace(hid_dim=96, emd_dim=96, coords_dim=[5, 5],
+                           num_layer=5, n_head=4, dropout=0.25, n_pts=17)
+    icfg = SimpleNamespace(solver="anderson", max_iterations=max_iter,
+                           tolerance=1e-9, anderson_m=5, anderson_beta=1.0,
+                           anderson_lambda=0.1, use_warm_start=False,
+                           warm_start_momentum=0.5, chunk_size=256)
+    ref = ref_igcn.IGCN(adj, SimpleNamespace(model=mcfg, implicit=icfg)).eval()
+    # Reference quirk: MemoryEfficientMultiHeadedAttention passes
+    # ``dropout_p=dropout.p`` to F.scaled_dot_product_attention
+    # unconditionally (eatten.py:25-27), so on torch>=2.0 the reference
+    # applies attention dropout EVEN IN EVAL MODE — its eval forward is
+    # stochastic (verified).  That is an unintended artifact (their own
+    # pre-2.0 chunked fallback respects .eval(), eatten.py:66-68); we match
+    # the deterministic math, so zero the p for the oracle comparison.
+    for layer in ref.atten_layers:
+        layer.self_attn.dropout.p = 0.0
+    with torch.no_grad():
+        # make the BatchNorm affine + running stats non-trivial so the
+        # conversion of all four tensors is actually exercised
+        ref.batch_norm.weight.uniform_(0.5, 1.5)
+        ref.batch_norm.bias.uniform_(-0.2, 0.2)
+        ref.batch_norm.running_mean.uniform_(-0.1, 0.1)
+        ref.batch_norm.running_var.uniform_(0.8, 1.2)
+
+    x = np.random.default_rng(0).normal(size=(4, 17, 5)).astype(np.float32)
+    t = np.full((4,), 7.0, np.float32)
+    mask = torch.ones(1, 1, 17, dtype=torch.bool)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), mask, torch.from_numpy(t)).numpy()
+    assert ref.last_iteration_count == max_iter
+
+    variables = torch_igcn_to_variables(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, num_layers=5
+    )
+    model = IGCN(basis=cheb_basis_from_edges(17, H36M_EDGES, order=2),
+                 solver="anderson", max_iterations=max_iter, min_iterations=10,
+                 tolerance=1e-9, anderson_m=5, anderson_beta=1.0,
+                 anderson_lambda=0.1)
+    got, aux = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(x), jnp.asarray(t), jnp.ones((1, 1, 17)),
+        differentiable=False,
+    )
+    assert int(aux["iterations"]) == max_iter
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
