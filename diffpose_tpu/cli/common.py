@@ -64,6 +64,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="evaluate the EMA shadow weights instead of the live weights")
     parser.add_argument("--synthetic_frames", default=0, type=int,
                         help="use a synthetic dataset of N frames instead of the npz files (smoke runs)")
+    parser.add_argument("--eval_sweep", default=1, type=int, metavar="N",
+                        help="eval batches per device dispatch (lax.map; identical results)")
+    parser.add_argument("--train_sweep", default=1, type=int, metavar="N",
+                        help="optimizer steps per device dispatch (device-resident "
+                        "dataset + lax.scan over an index array; single-mesh only)")
     return parser
 
 

@@ -52,6 +52,8 @@ def main(argv=None) -> int:
             use_ema_eval=args.use_ema_eval,
             downsample=args.downsample,
             action_filter=resolve_action_filter(args),
+            eval_sweep=args.eval_sweep,
+            train_sweep=args.train_sweep,
         )
         runner.create_diffusion_model(args.model_diff_path)
         runner.create_pose_model(args.model_pose_path)

@@ -106,6 +106,25 @@ class ImplicitConfig:
 
 
 @dataclass
+class VideoConfig:
+    """Spatio-temporal (video) variant: window geometry + model depth.
+
+    The reference delegates its video models to an external repo
+    (``README.md:92-93``, 81/243-frame windows); here they are first-class
+    (SURVEY §7.9).  Strides default to non-overlapping windows.
+    """
+
+    frames: int = 81
+    train_stride: Optional[int] = None   # None → frames (non-overlapping)
+    eval_stride: Optional[int] = None    # None → frames
+    num_layers: int = 4
+    dropout: float = 0.1
+    # query-chunked temporal attention engages at/above this many frames
+    # (beyond-VMEM windows); 0 disables
+    attention_chunk: int = 256
+
+
+@dataclass
 class Config:
     data: DataConfig = field(default_factory=DataConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
@@ -114,6 +133,7 @@ class Config:
     testing: TestingConfig = field(default_factory=TestingConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     implicit: Optional[ImplicitConfig] = None
+    video: Optional[VideoConfig] = None
 
 
 _SECTIONS = {
@@ -124,6 +144,7 @@ _SECTIONS = {
     "testing": TestingConfig,
     "optim": OptimConfig,
     "implicit": ImplicitConfig,
+    "video": VideoConfig,
 }
 
 
@@ -175,8 +196,9 @@ def load_config(path: str, cli_overrides: Optional[dict] = None) -> Config:
 
 def config_to_dict(cfg: Config) -> dict:
     out = dataclasses.asdict(cfg)
-    if out.get("implicit") is None:
-        out.pop("implicit", None)
+    for optional in ("implicit", "video"):
+        if out.get(optional) is None:
+            out.pop(optional, None)
     return out
 
 

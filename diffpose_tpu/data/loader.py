@@ -82,6 +82,22 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def epoch_indices(self, epoch: int = 0) -> Iterator[np.ndarray]:
+        """Index-only iteration (device-resident-data training): yields the
+        same per-host ``[B]`` dataset indices :meth:`epoch` would gather,
+        without assembling the batches on the host."""
+        n = len(self.dataset)
+        if self.shuffle:
+            perm = np.random.default_rng(self.seed + epoch).permutation(n)
+        else:
+            perm = np.arange(n)
+        for b in range(len(self)):
+            start = b * self.batch_size
+            idx_global = np.arange(start, start + self.batch_size) % n
+            idx = perm[idx_global]
+            lo = self.process_index * self.per_host_batch
+            yield idx[lo:lo + self.per_host_batch].astype(np.int32)
+
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         if self.shuffle:
@@ -108,13 +124,21 @@ class BatchLoader:
                 + np.int64(epoch) * 97531
                 + np.int64(self.seed) * 1000003
             ).astype(np.uint32).astype(np.int32)
-            # Batch assembly via the native multithreaded row-gather when
-            # the library is available (numpy fancy-indexing fallback).
-            yield {
-                "poses_3d": native.gather_rows(self.dataset.poses_3d, sel),
-                "poses_2d_gmm": native.gather_rows(self.dataset.poses_2d_gmm, sel),
+            # Batch assembly via the native multithreaded multi-array
+            # row-gather when the library is available (one parallel region
+            # for both big arrays; numpy fancy-indexing fallback).
+            p3, p2 = native.gather_rows_multi(
+                [self.dataset.poses_3d, self.dataset.poses_2d_gmm], sel
+            )
+            batch = {
+                "poses_3d": p3,
+                "poses_2d_gmm": p2,
                 "action_ids": self.dataset.action_ids[sel],
-                "camera_para": self.dataset.camera_para[sel],
                 "valid": valid[lo:hi],
                 "seeds": seeds,
             }
+            # Video window datasets carry no per-sample camera params.
+            cam = getattr(self.dataset, "camera_para", None)
+            if cam is not None:
+                batch["camera_para"] = cam[sel]
+            yield batch

@@ -158,6 +158,32 @@ def flatten_sequences(
     return FlatDataset(p3, p2, ids, cp, vocab)
 
 
+def prepare_h36m_sequences(
+    path_3d: str,
+    path_2d_train: str,
+    path_2d_test: str,
+    action_filter: Optional[Sequence[str]] = None,
+    stride: int = 1,
+):
+    """Sequence-level (unflattened) preparation for the video family.
+
+    Returns ``(train, test)`` where each is ``(poses_3d, poses_2d_gmm,
+    actions)`` per-sequence lists suitable for
+    :func:`diffpose_tpu.data.video.make_video_windows` (windows must not
+    cross sequence boundaries, so flattening would lose required
+    structure).
+    """
+    from diffpose_tpu.data.h36m import TRAIN_SUBJECTS, TEST_SUBJECTS
+
+    dataset = Human36mDataset(path_3d)
+    read_3d_data(dataset)
+    kp_train = create_2d_data(path_2d_train, dataset)
+    kp_test = create_2d_data(path_2d_test, dataset)
+    tr3, tr2, tra, _ = fetch(TRAIN_SUBJECTS, dataset, kp_train, action_filter, stride)
+    te3, te2, tea, _ = fetch(TEST_SUBJECTS, dataset, kp_test, action_filter, stride)
+    return (tr3, tr2, tra), (te3, te2, tea)
+
+
 def prepare_h36m(
     path_3d: str,
     path_2d_train: str,

@@ -43,11 +43,22 @@ Array = jax.Array
 
 
 class TemporalAttention(nn.Module):
-    """MHA over the frame axis; queries stay local, K/V gathered over CP."""
+    """MHA over the frame axis; queries stay local, K/V gathered over CP.
+
+    ``attention_chunk > 0``: at/above that many KEY frames the inference
+    path switches to :func:`diffpose_tpu.models.layers.chunked_attention`
+    (query-chunked, never materializes the full [F, F] score matrix) — the
+    beyond-VMEM regime the reference's ``eatten.py`` fallback targets.
+    Training keeps the fused path (attention-prob dropout needs the
+    materialized scores); at 81/243 frames the fused path is in-VMEM
+    anyway, so the chunked path only ever engages for long-window
+    inference.
+    """
 
     num_heads: int
     dropout_rate: float = 0.1
     cp_axis: Optional[str] = None
+    attention_chunk: int = 256
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
@@ -67,10 +78,20 @@ class TemporalAttention(nn.Module):
             k = jax.lax.all_gather(k, self.cp_axis, axis=2, tiled=True)
             v = jax.lax.all_gather(v, self.cp_axis, axis=2, tiled=True)
 
-        scores = jnp.einsum("nhfd,nhgd->nhfg", q, k) / math.sqrt(dk)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
-        out = jnp.einsum("nhfg,nhgd->nhfd", probs, v)
+        use_chunked = (
+            self.attention_chunk > 0
+            and k.shape[2] >= self.attention_chunk
+            and not train
+        )
+        if use_chunked:
+            from diffpose_tpu.models.layers import chunked_attention
+
+            out = chunked_attention(q, k, v, chunk_size=self.attention_chunk)
+        else:
+            scores = jnp.einsum("nhfd,nhgd->nhfg", q, k) / math.sqrt(dk)
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
+            out = jnp.einsum("nhfg,nhgd->nhfd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, f_local, d)
         return TorchDense(d, name="out")(out)
 
@@ -82,11 +103,13 @@ class TemporalBlock(nn.Module):
     num_heads: int
     dropout_rate: float = 0.1
     cp_axis: Optional[str] = None
+    attention_chunk: int = 256
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
         y = TemporalAttention(
-            self.num_heads, self.dropout_rate, self.cp_axis, name="attn"
+            self.num_heads, self.dropout_rate, self.cp_axis,
+            self.attention_chunk, name="attn"
         )(TorchStyleLayerNorm(name="norm1")(x), train=train)
         x = x + nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = TorchStyleLayerNorm(name="norm2")(x)
@@ -110,6 +133,7 @@ class SpatioTemporalDiff(nn.Module):
     dropout_rate: float = 0.1
     n_pts: int = 17
     cp_axis: Optional[str] = None    # mesh axis name sharding the frame dim
+    attention_chunk: int = 256       # chunked temporal attention threshold
 
     @property
     def emd_dim(self) -> int:
@@ -169,7 +193,7 @@ class SpatioTemporalDiff(nn.Module):
             ht = h.transpose(0, 2, 1, 3).reshape(b * j, f_local, self.hid_dim)
             ht = TemporalBlock(
                 self.hid_dim, self.num_heads, self.dropout_rate, self.cp_axis,
-                name=f"temporal_{i}",
+                self.attention_chunk, name=f"temporal_{i}",
             )(ht, train=train)
             h = ht.reshape(b, j, f_local, self.hid_dim).transpose(0, 2, 1, 3)
 

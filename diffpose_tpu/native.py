@@ -46,6 +46,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.gather_rows_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.gmm_select.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -79,6 +84,31 @@ def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
         ctypes.c_int64(row_bytes),
     )
     return out
+
+
+def gather_rows_multi(srcs, idx: np.ndarray):
+    """Gather the same rows from several arrays in ONE parallel region:
+    ``outs[a][i] = srcs[a][idx[i]]`` (the loader's whole batch assembly —
+    one call instead of one per array).  Numpy fallback when the native
+    library is unavailable."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        return [np.ascontiguousarray(s[idx]) for s in srcs]
+    srcs = [np.ascontiguousarray(s) for s in srcs]
+    outs = [np.empty((idx.shape[0],) + s.shape[1:], s.dtype) for s in srcs]
+    n = len(srcs)
+    row_bytes = (ctypes.c_int64 * n)(
+        *[s.dtype.itemsize * int(np.prod(s.shape[1:], dtype=np.int64)) for s in srcs]
+    )
+    src_ptrs = (ctypes.c_void_p * n)(*[s.ctypes.data for s in srcs])
+    dst_ptrs = (ctypes.c_void_p * n)(*[o.ctypes.data for o in outs])
+    lib.gather_rows_multi(
+        src_ptrs, row_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst_ptrs, ctypes.c_int64(idx.shape[0]), ctypes.c_int64(n),
+    )
+    return outs
 
 
 def gmm_select(gmm: np.ndarray, uniform: np.ndarray):

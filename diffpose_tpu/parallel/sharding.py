@@ -140,6 +140,90 @@ def make_sharded_implicit_train_step(
     return step
 
 
+def make_sharded_video_train_step(
+    model,
+    optimizer,
+    betas,
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "data",
+    cp_axis: Optional[str] = None,
+    ema_mu: Optional[float] = 0.999,
+    mask=None,
+    donate: bool = True,
+) -> Callable:
+    """Video training over a 1-D or 2-D mesh: windows shard over
+    ``data_axis`` (grads pmean), frames over ``cp_axis`` (temporal
+    attention all-gathers K/V inside the model; frame-summed loss/grads
+    psum).  Pass ``data_axis=None`` for pure context parallelism."""
+    from diffpose_tpu.train.video_steps import make_video_train_step
+
+    local_step = make_video_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask,
+        data_axis=data_axis, cp_axis=cp_axis,
+    )
+    keys = ("poses_2d_gmm", "poses_3d")
+    batch_spec = P(data_axis, cp_axis)  # [B, F, ...] — None axes replicate
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), {k: batch_spec for k in keys}, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch, key):
+        return jitted(state, {k: batch[k] for k in keys}, key)
+
+    return step
+
+
+def make_sharded_video_eval_step(
+    model,
+    betas,
+    seq,
+    mesh: Mesh,
+    *,
+    frames_total: int,
+    data_axis: Optional[str] = "data",
+    cp_axis: Optional[str] = None,
+    test_times: int = 1,
+    eta: float = 0.0,
+    mask=None,
+    use_ema: bool = False,
+) -> Callable:
+    """Windowed DDIM eval over the mesh; per-frame P1/P2 come back
+    ``[B, F]`` sharded the same way the windows went in.  Per-(window,
+    frame) seed ids make the result exactly layout-invariant."""
+    from diffpose_tpu.train.video_steps import make_video_eval_step
+
+    local_step = make_video_eval_step(
+        model, betas, seq, test_times=test_times, eta=eta, mask=mask,
+        use_ema=use_ema, cp_axis=cp_axis, frames_total=frames_total,
+    )
+    keys = ("poses_2d_gmm", "poses_3d")
+    batch_spec = P(data_axis, cp_axis)
+    seed_spec = P(data_axis)
+    in_batch_specs = {k: batch_spec for k in keys}
+    in_batch_specs["seeds"] = seed_spec
+    err_spec = P(data_axis, cp_axis)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), in_batch_specs, P()),
+        out_specs=(err_spec, err_spec, batch_spec),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded)
+
+    def step(state, batch, key):
+        needed = {k: batch[k] for k in (*keys, "seeds")}
+        return jitted(state, needed, key)
+
+    return step
+
+
 def make_sharded_eval_step(
     diff_model,
     pose_model,

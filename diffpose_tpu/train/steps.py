@@ -100,6 +100,50 @@ def make_train_step(
     return train_step
 
 
+def make_train_sweep_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    betas: np.ndarray,
+    *,
+    sweep: int,
+    ema_mu: Optional[float] = 0.999,
+    mask: Optional[Array] = None,
+):
+    """Device-resident-data training: ``sweep`` optimizer steps per dispatch.
+
+    The per-step host work of the standard path — assembling a ~2 MB batch
+    and staging it to the device — dominates the step wall-clock on this
+    model (the fwd+bwd itself is ~21 ms at b=1024; docs/PERF.md).  Here the
+    WHOLE training dataset lives in HBM (H3.6M train is ~1.9 GB — small
+    next to 16 GB) and the host sends only a ``[sweep, B]`` int32 index
+    array per dispatch; batch gather (``jnp.take``), GMM draw, q-sample,
+    fwd+bwd, Adam and EMA all run inside one ``lax.scan``.  Identical math
+    to ``sweep`` calls of :func:`make_train_step` with consecutive keys.
+
+    Returns ``step(state, data, idx, key) → (state, {"loss": [sweep]})``
+    where ``data = {"poses_3d": [N,J,3], "poses_2d_gmm": [N,J,K,5]}`` are
+    device-resident arrays passed by reference (no per-call transfer).
+    """
+    base = make_train_step(model, optimizer, betas, ema_mu=ema_mu, mask=mask)
+
+    def sweep_step(state: TrainState, data: dict, idx: Array, key: Array):
+        keys = jax.random.split(key, sweep)
+
+        def body(st, args):
+            ids, k = args
+            batch = {
+                "poses_3d": jnp.take(data["poses_3d"], ids, axis=0),
+                "poses_2d_gmm": jnp.take(data["poses_2d_gmm"], ids, axis=0),
+            }
+            st, metrics = base(st, batch, k)
+            return st, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, (idx, keys))
+        return state, {"loss": losses}
+
+    return sweep_step
+
+
 def make_eval_step(
     diff_model,
     pose_model,

@@ -61,6 +61,7 @@ class DiffposeRunner:
         downsample: int = 1,
         action_filter=None,
         eval_sweep: int = 1,
+        train_sweep: int = 1,
         denoiser_impl: str = "module",  # "module" | "pallas"
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
@@ -78,6 +79,11 @@ class DiffposeRunner:
         # >1: run this many eval batches per device dispatch (lax.map) —
         # amortizes per-execution host overhead; results are identical.
         self.eval_sweep = eval_sweep
+        # >1: device-resident-data training — `train_sweep` optimizer steps
+        # per dispatch (lax.scan over an index array; the dataset lives in
+        # HBM, the host sends only int32 indices).  See
+        # steps.make_train_sweep_step; single-mesh path only.
+        self.train_sweep = train_sweep
         self.denoiser_impl = denoiser_impl
         # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
         # this model (measured, docs/PERF.md) — eval defaults to true-f32
@@ -275,21 +281,65 @@ class DiffposeRunner:
         from diffpose_tpu.data.loader import prefetch_to_device
         from diffpose_tpu.parallel.sharding import data_sharding
 
+        # Device-resident-data sweep path: the whole train set goes to HBM
+        # once; each dispatch carries only a [sweep, B] index array and runs
+        # `sweep` optimizer steps in a lax.scan (see make_train_sweep_step).
+        use_sweep = self.train_sweep > 1 and self.mesh is None
+        if use_sweep:
+            from diffpose_tpu.train.steps import make_train_sweep_step
+
+            ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+            data_dev = {
+                "poses_3d": jax.device_put(self.train_data.poses_3d),
+                "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm),
+            }
+            sweep_fn = jax.jit(
+                make_train_sweep_step(
+                    self.model_diff, optimizer, self.betas,
+                    sweep=self.train_sweep, ema_mu=ema_mu, mask=self.mask,
+                ),
+                donate_argnums=(0,),
+            )
+            tail = steps_per_epoch % self.train_sweep
+            tail_fn = None
+            if tail:
+                tail_fn = jax.jit(
+                    make_train_sweep_step(
+                        self.model_diff, optimizer, self.betas,
+                        sweep=tail, ema_mu=ema_mu, mask=self.mask,
+                    ),
+                    donate_argnums=(0,),
+                )
+
         sharding = data_sharding(self.mesh) if self.mesh is not None else None
         for epoch in range(start_epoch, self.config.training.n_epochs):
-            epoch_loss = AverageMeter()
             t0 = time.time()
             # per-epoch reset hook (implicit warm-start history — the
             # reference's reset_history call, implicit_pose.py:319-320)
             getattr(step_fn, "reset", lambda: None)()
-            batches = prefetch_to_device(loader.epoch(epoch), size=2, sharding=sharding)
-            for i, batch in enumerate(batches):
-                self.state, metrics = step_fn(self.state, batch, self._next_key())
-                if i % 100 == 0:
-                    # host sync only every 100 steps (the reference syncs
-                    # .item() every step, runners/diffpose_frame.py:233)
-                    epoch_loss.update(float(metrics["loss"]), 1)
+            # Every step's loss counts (the reference averages every step,
+            # runners/diffpose_frame.py:233) — but fetched ASYNC: the device
+            # scalars are collected and converted once at epoch end, so the
+            # dispatch queue never blocks on a per-step .item()-style sync.
+            step_losses = []
+            if use_sweep:
+                idx_all = list(loader.epoch_indices(epoch))
+                for start in range(0, len(idx_all), self.train_sweep):
+                    group = np.stack(idx_all[start:start + self.train_sweep])
+                    fn = sweep_fn if group.shape[0] == self.train_sweep else tail_fn
+                    self.state, metrics = fn(
+                        self.state, data_dev, group, self._next_key()
+                    )
+                    step_losses.append(metrics["loss"])  # [S] device array
+            else:
+                batches = prefetch_to_device(loader.epoch(epoch), size=2, sharding=sharding)
+                for batch in batches:
+                    self.state, metrics = step_fn(self.state, batch, self._next_key())
+                    step_losses.append(jnp.atleast_1d(metrics["loss"]))
             self.state = self.state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+            all_losses = jnp.concatenate([jnp.atleast_1d(l) for l in step_losses])
+            epoch_loss = AverageMeter()
+            epoch_loss.update(float(jnp.mean(all_losses)), int(all_losses.shape[0]))
             history["loss"].append(epoch_loss.avg)
             logger.info(
                 "| Epoch %04d | steps %d | loss %.6f | %.2fs |",
@@ -452,6 +502,7 @@ class DiffposeRunner:
                 accumulate(batch, p1_b, p2_b)
 
         logger.info("MPJPE: %.4f | P-MPJPE: %.4f", p1_meter.avg, p2_meter.avg)
+        self.last_error_sum = error_sum  # per-action accumulators (parity checks)
         p1, p2 = summarize_action_errors(error_sum, print_table=not is_train)
         return p1, p2
 

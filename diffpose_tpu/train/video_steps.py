@@ -1,10 +1,20 @@
-"""Training step for the spatio-temporal (video) denoiser.
+"""Train/eval steps for the spatio-temporal (video) denoiser.
 
 Same GMM-diffusion objective as the frame model, applied per frame of an
 ``[B, F, J, …]`` window: per-joint GMM kernel draws for every frame, one
 diffusion timestep per *window* (the whole window is noised coherently,
 the standard choice for temporal diffusion), ε-MSE summed over frames,
 joints and coords.
+
+Mesh composition: the steps run standalone, under data parallelism
+(``data_axis`` — windows shard, grads ``pmean``), under context
+parallelism (``cp_axis`` — frames shard, the model all-gathers K/V, the
+frame-summed loss/grads ``psum``), or both at once on a 2-D
+``('data', 'context')`` mesh.  The diffusion timestep is drawn per window
+from a key folded with the *data* index only, so every frame shard of a
+window sees the same ``t`` (the noising must be coherent across the
+window); per-frame randomness (GMM draw, noise, dropout) additionally
+folds the context index.
 """
 
 from __future__ import annotations
@@ -34,13 +44,18 @@ def make_video_eval_step(
     mask: Optional[Array] = None,
     use_ema: bool = False,
     gmm_base_seed: int = 0,
+    cp_axis: Optional[str] = None,
+    frames_total: Optional[int] = None,
 ):
     """Window eval: per-frame GMM 2D + zero-init xyz → DDIM over the window
-    → hypothesis mean → per-frame P1/P2 (root-centered).
+    → hypothesis mean → per-frame P1/P2 ``[B, F_local]`` (root-centered).
 
     The video variant starts from the observed uv with a zero xyz guess
     (no per-frame lifter is required — the temporal context supplies the
-    prior); per-sample keyed GMM draws keep results layout-invariant.
+    prior); per-sample keyed GMM draws keep results layout-invariant:
+    under ``cp_axis`` each frame shard derives the SAME per-(window, frame)
+    seed ids the unsharded step uses (global frame index offset), so
+    sharded and unsharded eval agree exactly.
     """
     from diffpose_tpu.data.gmm import sample_gmm_batch_per_sample
     from diffpose_tpu.diffusion.ddim import ddim_sample
@@ -50,14 +65,19 @@ def make_video_eval_step(
 
     def eval_step(state: TrainState, batch: dict, key: Array):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
-        p3 = batch["poses_3d"]       # [B, F, J, 3]
-        gmm = batch["poses_2d_gmm"]  # [B, F, J, K, 5]
+        p3 = batch["poses_3d"]       # [B, F_local, J, 3]
+        gmm = batch["poses_2d_gmm"]  # [B, F_local, J, K, 5]
         b, f, j = p3.shape[:3]
+        f_tot = frames_total if frames_total is not None else f
+        frame0 = (
+            jax.lax.axis_index(cp_axis) * f if cp_axis is not None else 0
+        )
 
         k_gmm = jax.random.fold_in(jax.random.PRNGKey(gmm_base_seed), 1)
+        frame_ids = frame0 + jnp.arange(f)
         _, _, input_2d = sample_gmm_batch_per_sample(
             k_gmm,
-            jnp.repeat(batch["seeds"], f) * f + jnp.tile(jnp.arange(f), b),
+            jnp.repeat(batch["seeds"], f) * f_tot + jnp.tile(frame_ids, b),
             gmm.reshape(b * f, j, gmm.shape[3], 5),
             p3.reshape(b * f, j, 3),
         )
@@ -74,10 +94,10 @@ def make_video_eval_step(
         pred = out[..., 2:]
         pred = pred - pred[..., :1, :]
         tgt = p3 - p3[..., :1, :]
-        # per-window, per-frame errors flattened to [B*F]
+        # per-window, per-frame errors [B, F_local]
         p1 = mpjpe_per_sample(pred.reshape(b * f, j, 3), tgt.reshape(b * f, j, 3))
         p2 = p_mpjpe_per_sample(pred.reshape(b * f, j, 3), tgt.reshape(b * f, j, 3))
-        return p1, p2, pred
+        return p1.reshape(b, f), p2.reshape(b, f), pred
 
     return eval_step
 
@@ -89,17 +109,25 @@ def make_video_train_step(
     *,
     ema_mu: Optional[float] = 0.999,
     mask: Optional[Array] = None,
-    axis_name: Optional[str] = None,
+    data_axis: Optional[str] = None,
+    cp_axis: Optional[str] = None,
 ):
     num_timesteps = len(betas)
 
     def train_step(state: TrainState, batch: dict, key: Array):
-        if axis_name is not None:
-            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        if data_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+        if cp_axis is not None:
+            # Per-frame randomness decorrelates across frame shards; k_t is
+            # NOT folded — the window's timestep must be shard-invariant.
+            ci = jax.lax.axis_index(cp_axis)
+            k_gmm = jax.random.fold_in(k_gmm, ci)
+            k_e = jax.random.fold_in(k_e, ci)
+            k_drop = jax.random.fold_in(k_drop, ci)
 
-        p3 = batch["poses_3d"]        # [B, F, J, 3]
-        gmm = batch["poses_2d_gmm"]   # [B, F, J, K, 5]
+        p3 = batch["poses_3d"]        # [B, F_local, J, 3]
+        gmm = batch["poses_2d_gmm"]   # [B, F_local, J, K, 5]
         b, f, j = p3.shape[:3]
 
         uvxyz, noise_scale, _ = sample_gmm_batch(
@@ -120,9 +148,13 @@ def make_video_train_step(
             return jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2, 3)))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-            loss = jax.lax.pmean(loss, axis_name)
+        if cp_axis is not None:
+            # the loss sums over frames → frame shards ADD
+            grads = jax.lax.psum(grads, cp_axis)
+            loss = jax.lax.psum(loss, cp_axis)
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -39,6 +39,22 @@ case "${1:?usage: run.sh <recipe>}" in
       --config configs/human36m_ipose.yml --doc compare \
       --synthetic_frames 2048 --batch_size 512 --track_metrics
     ;;
+  trainvideo)
+    python -m diffpose_tpu.cli.main_video --train --ni \
+      --config configs/human36m_video.yml --doc train_video \
+      --track_metrics
+    ;;
+  testvideo)
+    python -m diffpose_tpu.cli.main_video --ni \
+      --config configs/human36m_video.yml --doc test_video --track_metrics
+    ;;
+  videosmoke)
+    # synthetic windows over an 8-way 2-D (data × context) mesh
+    python -m diffpose_tpu.cli.main_video --train --ni \
+      --config configs/human36m_video.yml --doc video_smoke \
+      --synthetic_windows 16 --frames 16 --batch_size 8 --n_epochs 2 \
+      --lr 0.001 --data_parallel --context_parallel 2
+    ;;
   smoke)
     python -m diffpose_tpu.cli.main_frame --train --ni \
       --config configs/human36m_diffpose_uvxyz_gt.yml --doc smoke \

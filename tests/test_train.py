@@ -115,3 +115,45 @@ def test_eval_uses_ema_when_requested():
         state, pose_params, batch, jax.random.PRNGKey(8)
     )
     assert not np.allclose(np.asarray(live[0]), np.asarray(ema[0]))
+
+
+def test_train_sweep_device_resident_path():
+    """train_sweep>1: whole dataset device-resident, `sweep` optimizer steps
+    per dispatch via lax.scan over an index array — step counts, loss
+    finiteness and eval all behave like the per-step path."""
+    import numpy as np
+    from diffpose_tpu.config import Config, ModelConfig, OptimConfig, TestingConfig, TrainingConfig
+    from diffpose_tpu.data import make_synthetic_dataset
+    from diffpose_tpu.train import DiffposeRunner
+
+    cfg = Config(
+        model=ModelConfig(hid_dim=32, num_layer=2, n_head=4),
+        training=TrainingConfig(batch_size=16, n_epochs=2),
+        testing=TestingConfig(test_times=1, test_timesteps=2,
+                              test_num_diffusion_timesteps=12),
+        optim=OptimConfig(lr=1e-3),
+    )
+    runner = DiffposeRunner(cfg, seed=17, train_sweep=3)
+    runner.create_diffusion_model()
+    runner.create_pose_model()
+    # 7 batches/epoch → two sweeps of 3 + a tail of 1 (exercises tail_fn)
+    runner.set_data(
+        make_synthetic_dataset(num_frames=112, seed=0),
+        make_synthetic_dataset(num_frames=32, seed=1),
+    )
+    history = runner.train()
+    assert len(history["loss"]) == 2
+    assert all(np.isfinite(l) for l in history["loss"])
+    assert int(runner.state.step) == 2 * 7  # every step counted
+    assert all(np.isfinite(p) for p in history["p1"])
+
+
+def test_epoch_indices_match_epoch_gather():
+    from diffpose_tpu.data import BatchLoader, make_synthetic_dataset
+    import numpy as np
+
+    ds = make_synthetic_dataset(num_frames=40, seed=3)
+    loader = BatchLoader(ds, batch_size=16, shuffle=True, seed=9)
+    for idx, batch in zip(loader.epoch_indices(2), loader.epoch(2)):
+        np.testing.assert_array_equal(ds.poses_3d[idx], batch["poses_3d"])
+        np.testing.assert_array_equal(ds.poses_2d_gmm[idx], batch["poses_2d_gmm"])

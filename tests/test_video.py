@@ -132,7 +132,7 @@ def test_video_eval_step():
     }
     step = jax.jit(make_video_eval_step(model, betas, (0, 6), test_times=2))
     p1, p2, pred = step(state, batch, jax.random.PRNGKey(1))
-    assert p1.shape == (4 * FRAMES,) and p2.shape == (4 * FRAMES,)
+    assert p1.shape == (4, FRAMES) and p2.shape == (4, FRAMES)
     assert pred.shape == (4, FRAMES, 17, 3)
     assert np.isfinite(np.asarray(p1)).all() and np.isfinite(np.asarray(p2)).all()
 
