@@ -3,11 +3,14 @@
 Workload = the reference's eval protocol (``runners/diffpose_frame.py``,
 ``configs/human36m_diffpose_uvxyz_cpn.yml``): GCNPose 2D→3D lift, 2-step
 DDIM denoise of the uvxyz batch (T_test=24, uniform skip), hypothesis
-mean — batch 1024, float32 accumulation.
+mean — batch 1024, parity-grade f32 matmul precision.
 
-Runs the MXU-shaped fast inference path (``diffpose_tpu.ops.fast_eval``:
-fused Chebyshev BigW convolutions, fused QKV) — verified bit-equivalent to
-the module forward by the test suite.
+Headline path = the fused whole-network Pallas kernels
+(``diffpose_tpu.ops.pallas_pipeline``): each of the three forwards
+(1 lift + 2 denoise) runs as ONE VMEM-resident kernel with parity-grade
+bf16x3 matmuls (max|Δ| 7.5e-5 vs the XLA f32 forward on hardware —
+docs/PERF.md); the whole eval sweep is a single device program.  Set
+``BENCH_IMPL=xla`` to time the standard XLA module path instead.
 
 Baseline = the same workload driven through the reference PyTorch
 implementation on CPU (imported read-only from /root/reference), which is
@@ -42,9 +45,21 @@ def bench_tpu(iters: int = 25) -> float:
 
     # Parity-grade precision: TPU default single-pass-bf16 matmuls cost
     # >1 mm P1 on this model (docs/PERF.md) — the headline number must be
-    # achievable at reference accuracy, so f32 passes are forced here.
+    # achievable at reference accuracy.  The Pallas kernels emulate f32
+    # matmuls internally (bf16x3); the XLA-side remainder (DDIM mixing,
+    # or the whole model under BENCH_IMPL=xla) forces f32 passes here.
     with jax.default_matmul_precision("float32"):
-        return _bench_tpu_inner(iters)
+        try:
+            return _bench_tpu_inner(iters)
+        except Exception as e:
+            if os.environ.get("BENCH_IMPL", "pallas") != "pallas":
+                raise
+            # The remote-compile service occasionally 500s on Mosaic
+            # kernels; a degraded-but-correct number beats no number.
+            print(f"# pallas path failed ({type(e).__name__}: {e}); "
+                  "falling back to the XLA path", file=sys.stderr)
+            os.environ["BENCH_IMPL"] = "xla"
+            return _bench_tpu_inner(iters)
 
 
 def _bench_tpu_inner(iters: int) -> float:
@@ -67,17 +82,25 @@ def _bench_tpu_inner(iters: int) -> float:
     params_pose = pose.init({"params": key}, jnp.zeros((2, 17, 2)))["params"]
     mask = jnp.ones((1, 1, 17))
 
-    def denoise(x, t):
-        return diff.apply({"params": params_diff}, x, t, mask)
+    if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
+        from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval
 
-    def eval_one(input_2d):
-        xyz = pose.apply({"params": params_pose}, input_2d, mask)
-        xyz = xyz - xyz[:, :1, :]
-        uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
-        uvxyz = jnp.tile(uvxyz, (TEST_TIMES, 1, 1))
-        out = ddim_sample(denoise, uvxyz, SEQ, betas)
-        out = out.reshape(TEST_TIMES, -1, 17, 5).mean(axis=0)
-        return out[..., 2:]
+        eval_one = make_pallas_eval(
+            params_pose, params_diff, basis,
+            seq=SEQ, betas=betas, test_times=TEST_TIMES, precision="bf16x3",
+        )
+    else:
+        def denoise(x, t):
+            return diff.apply({"params": params_diff}, x, t, mask)
+
+        def eval_one(input_2d):
+            xyz = pose.apply({"params": params_pose}, input_2d, mask)
+            xyz = xyz - xyz[:, :1, :]
+            uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
+            uvxyz = jnp.tile(uvxyz, (TEST_TIMES, 1, 1))
+            out = ddim_sample(denoise, uvxyz, SEQ, betas)
+            out = out.reshape(TEST_TIMES, -1, 17, 5).mean(axis=0)
+            return out[..., 2:]
 
     # The whole eval sweep runs device-side as a scan over batches — ONE
     # host dispatch per call (this environment has ~0.4 ms per-execution

@@ -69,6 +69,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--train_sweep", default=1, type=int, metavar="N",
                         help="optimizer steps per device dispatch (device-resident "
                         "dataset + lax.scan over an index array; single-mesh only)")
+    parser.add_argument("--denoiser_impl", default="module",
+                        choices=("module", "pallas"),
+                        help="eval forward implementation: standard module, or the "
+                        "fused whole-network Pallas kernels (parity-grade bf16x3 "
+                        "matmuls; single-chip eval only)")
     return parser
 
 

@@ -54,6 +54,7 @@ def main(argv=None) -> int:
             action_filter=resolve_action_filter(args),
             eval_sweep=args.eval_sweep,
             train_sweep=args.train_sweep,
+            denoiser_impl=args.denoiser_impl,
         )
         runner.create_diffusion_model(args.model_diff_path)
         runner.create_pose_model(args.model_pose_path)

@@ -26,7 +26,11 @@ the math into a small number of large GEMMs that map cleanly onto the MXU:
 * Optional bf16 compute (f32 accumulation via ``preferred_element_type``).
 
 Outputs match ``GCNDiff.apply`` (eval mode) to float tolerance — verified
-by tests.  Used by the DDIM eval/bench path; training keeps the autodiff-
+by tests.  Measured on v5e hardware the BigW trade LOSES to the standard
+forward (4.45 vs 3.06 ms at f32 — the 8× FLOP inflation exceeds the op-
+overhead savings; docs/PERF.md) — kept as an option and a documented
+cautionary benchmark.  The production fast path is the fused Pallas
+pipeline (``ops/pallas_pipeline.py``); training keeps the autodiff-
 friendly module forward.
 """
 

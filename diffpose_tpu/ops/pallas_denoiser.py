@@ -22,8 +22,12 @@ Design (see also ``pallas_cheb.py``):
   tiny and stay in XLA, entering the kernel as a precomputed ``[L, B, H]``
   input.
 
-Inference-path kernel (no dropout), float32.  Verified against
-``GCNDiff.apply`` in interpret mode and on hardware.
+Inference-path kernels (no dropout), float32 activations.  Verified
+against ``GCNDiff.apply``/``GCNPose.apply`` in interpret mode and on
+hardware; measured on a v5e chip at b=1024 (scripts/probe_kernels.py):
+denoiser 2.08 ms single-pass-bf16 / 3.79 ms parity-grade bf16x3 (max|Δ|
+7.5e-5 vs the XLA f32 forward) vs 6.25 ms XLA f32; lifter 4.11 ms bf16x3
+vs 5.89 ms XLA f32.
 """
 
 from __future__ import annotations
@@ -53,12 +57,59 @@ def _layer_norm(z, scale, bias, h_dim):
     return scale * c / (jnp.sqrt(var) + 1e-6) + bias
 
 
+def _dot(x, w, precision):
+    """MXU dot at the requested parity grade.
+
+    ``precision="bf16x3"`` emulates an f32 matmul as three single-pass
+    bf16 MXU products on hi/lo splits (``x ≈ xh+xl``, ``w ≈ wh+wl``;
+    the ``xl·wl`` term is ~2⁻¹⁶ relative and dropped) — the same
+    decomposition XLA's f32 matmul precision uses on TPU, but spelled
+    out so Mosaic compiles it as fast as the default single-pass path
+    (``Precision.HIGHEST`` through this environment's remote-compile
+    service took >15 min per kernel; this takes seconds).
+    Any other value is forwarded to ``jnp.dot`` unchanged.
+    """
+    if precision == "bf16x3":
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        # Pin DEFAULT: bf16 operands are already single-pass-exact, and an
+        # ambient jax.default_matmul_precision("float32") context would
+        # otherwise request HIGHEST on them, which Mosaic rejects.
+        one = jax.lax.Precision.DEFAULT
+        xh = x.astype(bf16)
+        xl = (x - xh.astype(f32)).astype(bf16)
+        wh = w.astype(bf16)
+        wl = (w - wh.astype(f32)).astype(bf16)
+        return (
+            jnp.dot(xh, wh, preferred_element_type=f32, precision=one)
+            + jnp.dot(xh, wl, preferred_element_type=f32, precision=one)
+            + jnp.dot(xl, wh, preferred_element_type=f32, precision=one)
+        )
+    return jnp.dot(x, w, preferred_element_type=jnp.float32, precision=precision)
+
+
+def _dot_exact_w(x, w, precision):
+    """`_dot` for weights that are EXACTLY bf16-representable (0/1 segment
+    matrices): the weight-lo pass vanishes, so parity grade needs only the
+    two activation passes.  At other precisions, identical to ``_dot``."""
+    if precision == "bf16x3":
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        one = jax.lax.Precision.DEFAULT
+        xh = x.astype(bf16)
+        xl = (x - xh.astype(f32)).astype(bf16)
+        wh = w.astype(bf16)
+        return (
+            jnp.dot(xh, wh, preferred_element_type=f32, precision=one)
+            + jnp.dot(xl, wh, preferred_element_type=f32, precision=one)
+        )
+    return jnp.dot(x, w, preferred_element_type=jnp.float32, precision=precision)
+
+
 def _cheb(z, w3, bias, terms, n_pts, precision=None):
     tb = z.shape[1]
     c = z.shape[2]
     zf = z.reshape(n_pts * tb, c)
     u = [
-        jnp.dot(zf, w3[k], preferred_element_type=jnp.float32, precision=precision).reshape(n_pts, tb, -1)
+        _dot(zf, w3[k], precision).reshape(n_pts, tb, -1)
         for k in range(w3.shape[0])
     ]
     rows = []
@@ -83,19 +134,24 @@ def _lap_mix(lap_ref, layer, z, n_pts):
     return jnp.stack(rows)
 
 
-def _denoiser_kernel(
-    x_ref, tp_ref,
-    win_ref, bin_ref,
-    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-    wqkv_ref, bqkv_ref, wao_ref, bao_ref,
-    lap_ref,
-    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    wg1_ref, bg1_ref, wg2_ref, bg2_ref,
-    wout_ref, bout_ref,
-    seg_ref, segt_ref,
-    o_ref,
-    *, terms, n_pts, num_layers, num_heads, h_dim, precision,
+def _net_kernel(
+    x_ref, *refs,
+    terms, n_pts, num_layers, num_heads, h_dim, precision, has_temb,
 ):
+    """GraFormer backbone forward (GCNDiff with temb, GCNPose without)."""
+    if has_temb:
+        tp_ref, *rest = refs
+    else:
+        tp_ref, rest = None, list(refs)
+    (win_ref, bin_ref,
+     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     wqkv_ref, bqkv_ref, wao_ref, bao_ref,
+     lap_ref,
+     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+     wg1_ref, bg1_ref, wg2_ref, bg2_ref,
+     wout_ref, bout_ref,
+     seg_ref, segt_ref,
+     o_ref) = rest
     tb = x_ref.shape[1]
     seg_c = seg_ref[...]      # [H, heads], holds 1/sqrt(dk)
     segt_c = segt_ref[...]    # [heads, H]
@@ -105,11 +161,7 @@ def _denoiser_kernel(
     for l in range(num_layers):
         # ---- attention sublayer ----
         y = _layer_norm(h, ln1s_ref[l], ln1b_ref[l], h_dim)
-        qkv = (
-            jnp.dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l],
-                    preferred_element_type=jnp.float32, precision=precision)
-            + bqkv_ref[l]
-        )
+        qkv = _dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l], precision) + bqkv_ref[l]
         qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
         q = qkv[..., :h_dim]
         k = qkv[..., h_dim:2 * h_dim]
@@ -118,23 +170,17 @@ def _denoiser_kernel(
         att_rows = []
         for n in range(n_pts):
             p = q[n:n + 1] * k                                    # [17, TB, H]
-            s = jnp.dot(
-                p.reshape(n_pts * tb, h_dim), seg_c,
-                preferred_element_type=jnp.float32, precision=precision,
-            ).reshape(n_pts, tb, num_heads)                       # scores over keys
+            s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
+            s = s.reshape(n_pts, tb, num_heads)                   # scores over keys
             smax = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - smax)
             probs = e / jnp.sum(e, axis=0, keepdims=True)
-            w = jnp.dot(
-                probs.reshape(n_pts * tb, num_heads), segt_c,
-                preferred_element_type=jnp.float32, precision=precision,
-            ).reshape(n_pts, tb, h_dim)
+            w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c, precision)
+            w = w.reshape(n_pts, tb, h_dim)
             att_rows.append(jnp.sum(w * v, axis=0))               # [TB, H]
         att = jnp.stack(att_rows)
         att = (
-            jnp.dot(att.reshape(n_pts * tb, h_dim), wao_ref[l],
-                    preferred_element_type=jnp.float32, precision=precision)
-            + bao_ref[l]
+            _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
         ).reshape(n_pts, tb, h_dim)
         h = h + att
 
@@ -142,51 +188,42 @@ def _denoiser_kernel(
         y = _layer_norm(h, ln2s_ref[l], ln2b_ref[l], h_dim)
         y = _lap_mix(lap_ref, l, y, n_pts)
         y = jax.nn.relu(
-            jnp.dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l],
-                    preferred_element_type=jnp.float32, precision=precision)
-            + bfc1_ref[l]
+            _dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l], precision) + bfc1_ref[l]
         ).reshape(n_pts, tb, 2 * h_dim)
         y = _lap_mix(lap_ref, l, y, n_pts)
         y = (
-            jnp.dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l],
-                    preferred_element_type=jnp.float32, precision=precision)
-            + bfc2_ref[l]
+            _dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l], precision) + bfc2_ref[l]
         ).reshape(n_pts, tb, h_dim)
         h = h + y
 
-        # ---- residual Chebyshev block with timestep injection ----
+        # ---- residual Chebyshev block (timestep injection when present) ----
         u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts, precision))
-        u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
+        if tp_ref is not None:
+            u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
         u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
         h = h + u
 
     o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts, precision)
 
 
-def make_pallas_denoiser(
-    params: Dict[str, Any],
-    basis: np.ndarray,
-    *,
-    num_layers: int = 5,
-    num_heads: int = 4,
-    hid_dim: int = 96,
-    block_b: int = 128,
-    interpret: bool = False,
-    precision=None,
-):
-    """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
+def _prep_weights(params, basis, num_layers, num_heads, hid_dim):
+    """Materialize the backbone's weight stack + attention segment matrices.
 
-    Output matches ``GCNDiff.apply`` (eval mode) to float32 tolerance.
+    Shared by denoiser (GCNDiff) and lifter (GCNPose): both use the same
+    GraFormer backbone parameter naming (``gconv_input``, ``atten_{i}``,
+    ``res_{i}``, ``gconv_output``).
     """
-    n_pts = basis.shape[1]
     dk = hid_dim // num_heads
     terms = _sparse_terms(np.asarray(basis, np.float64))
 
-    # Segment matrices: score folding (with 1/sqrt(dk)) and head expansion.
+    # Segment matrices: per-head score folding and head expansion.  Both
+    # are EXACT 0/1 (the 1/√dk score scale is folded into the q projection
+    # below instead) so parity-grade needs only 2 MXU passes through them
+    # (`_dot_exact_w`).
     seg = np.zeros((hid_dim, num_heads), np.float32)
     segt = np.zeros((num_heads, hid_dim), np.float32)
     for h in range(num_heads):
-        seg[h * dk:(h + 1) * dk, h] = 1.0 / math.sqrt(dk)
+        seg[h * dk:(h + 1) * dk, h] = 1.0
         segt[h, h * dk:(h + 1) * dk] = 1.0
 
     f32 = jnp.float32
@@ -222,6 +259,56 @@ def make_pallas_denoiser(
         wout=jnp.asarray(params["gconv_output"]["w"], f32),
         bout=jnp.asarray(params["gconv_output"]["b"], f32),
     )
+    # Fold the attention score scale into the q projection (weights AND
+    # bias): scores = Σ_d (q/√dk)_d · k_d with exact-0/1 seg.
+    scale = 1.0 / math.sqrt(dk)
+    weights["wqkv"] = weights["wqkv"].at[:, :, :hid_dim].multiply(scale)
+    weights["bqkv"] = weights["bqkv"].at[:, :hid_dim].multiply(scale)
+    return weights, terms, jnp.asarray(seg), jnp.asarray(segt)
+
+
+# Weight-ref order shared by the denoiser and lifter pallas_calls — must
+# match the unpacking order inside `_net_kernel`.
+_W_ORDER = (
+    "win", "bin_",
+    "ln1s", "ln1b", "ln2s", "ln2b",
+    "wqkv", "bqkv", "wao", "bao",
+    "lap",
+    "wfc1", "bfc1", "wfc2", "bfc2",
+    "wg1", "bg1", "wg2", "bg2",
+    "wout", "bout",
+)
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
+
+
+def make_pallas_denoiser(
+    params: Dict[str, Any],
+    basis: np.ndarray,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    block_b: int = 128,
+    interpret: bool = False,
+    precision=None,
+):
+    """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
+
+    Output matches ``GCNDiff.apply`` (eval mode) to float32 tolerance with
+    ``precision="bf16x3"`` (parity-grade; see ``_dot``) or the default
+    single-pass bf16 MXU tolerance otherwise.
+    """
+    n_pts = basis.shape[1]
+    weights, terms, seg_j, segt_j = _prep_weights(
+        params, basis, num_layers, num_heads, hid_dim)
+
+    f32 = jnp.float32
+    stack = lambda fn: jnp.stack([fn(i) for i in range(num_layers)]).astype(f32)
+    r = lambda i: params[f"res_{i}"]
     wtp = stack(lambda i: r(i)["temb_proj"]["kernel"])   # [L, 4H, H]
     btp = stack(lambda i: r(i)["temb_proj"]["bias"])     # [L, H]
     t0k = jnp.asarray(params["temb_dense_0"]["kernel"], f32)
@@ -230,24 +317,22 @@ def make_pallas_denoiser(
     t1b = jnp.asarray(params["temb_dense_1"]["bias"], f32)
 
     kernel = functools.partial(
-        _denoiser_kernel,
+        _net_kernel,
         terms=terms, n_pts=n_pts, num_layers=num_layers,
         num_heads=num_heads, h_dim=hid_dim, precision=precision,
+        has_temb=True,
     )
-    seg_j = jnp.asarray(seg)
-    segt_j = jnp.asarray(segt)
 
     c_in = params["gconv_input"]["w"].shape[1]
     c_out = params["gconv_output"]["w"].shape[2]
-
-    def full(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
+    w_args = [weights[k] for k in _W_ORDER]
+    w_specs = [_full_spec(w.shape) for w in w_args]
 
     def fn(x: Array, t: Array) -> Array:
         bsz = x.shape[0]
         bb = min(block_b, bsz)
-        assert bsz % bb == 0, (bsz, bb)
+        while bsz % bb:  # largest divisor of bsz ≤ block_b (grid must tile exactly)
+            bb -= 1
 
         # Timestep path in XLA (tiny): MLP + all per-layer projections.
         temb = timestep_embedding(t, hid_dim)
@@ -257,7 +342,6 @@ def make_pallas_denoiser(
 
         xj = jnp.transpose(x.astype(f32), (1, 0, 2))  # [N, B, C]
 
-        w = weights
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pts, bsz, c_out), f32),
@@ -265,32 +349,68 @@ def make_pallas_denoiser(
             in_specs=[
                 pl.BlockSpec((n_pts, bb, c_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((num_layers, bb, hid_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-                full(w["win"].shape), full(w["bin_"].shape),
-                full(w["ln1s"].shape), full(w["ln1b"].shape),
-                full(w["ln2s"].shape), full(w["ln2b"].shape),
-                full(w["wqkv"].shape), full(w["bqkv"].shape),
-                full(w["wao"].shape), full(w["bao"].shape),
-                full(w["lap"].shape),
-                full(w["wfc1"].shape), full(w["bfc1"].shape),
-                full(w["wfc2"].shape), full(w["bfc2"].shape),
-                full(w["wg1"].shape), full(w["bg1"].shape),
-                full(w["wg2"].shape), full(w["bg2"].shape),
-                full(w["wout"].shape), full(w["bout"].shape),
-                full(seg_j.shape), full(segt_j.shape),
+                *w_specs,
+                _full_spec(seg_j.shape), _full_spec(segt_j.shape),
             ],
             out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(
-            xj, tp,
-            w["win"], w["bin_"],
-            w["ln1s"], w["ln1b"], w["ln2s"], w["ln2b"],
-            w["wqkv"], w["bqkv"], w["wao"], w["bao"],
-            w["lap"],
-            w["wfc1"], w["bfc1"], w["wfc2"], w["bfc2"],
-            w["wg1"], w["bg1"], w["wg2"], w["bg2"],
-            w["wout"], w["bout"],
-            seg_j, segt_j,
-        )
+        )(xj, tp, *w_args, seg_j, segt_j)
+        return jnp.transpose(out, (1, 0, 2))
+
+    return fn
+
+
+def make_pallas_lifter(
+    params: Dict[str, Any],
+    basis: np.ndarray,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    block_b: int = 128,
+    interpret: bool = False,
+    precision=None,
+):
+    """Build ``fn(x2d) → xyz`` — GCNPose forward as one Pallas kernel.
+
+    Same backbone kernel as the denoiser with the timestep path compiled
+    out (GCNPose has none; reference ``models/gcnpose.py:55-113``).
+    """
+    n_pts = basis.shape[1]
+    weights, terms, seg_j, segt_j = _prep_weights(
+        params, basis, num_layers, num_heads, hid_dim)
+
+    kernel = functools.partial(
+        _net_kernel,
+        terms=terms, n_pts=n_pts, num_layers=num_layers,
+        num_heads=num_heads, h_dim=hid_dim, precision=precision,
+        has_temb=False,
+    )
+
+    c_in = params["gconv_input"]["w"].shape[1]
+    c_out = params["gconv_output"]["w"].shape[2]
+    w_args = [weights[k] for k in _W_ORDER]
+    w_specs = [_full_spec(w.shape) for w in w_args]
+    f32 = jnp.float32
+
+    def fn(x: Array) -> Array:
+        bsz = x.shape[0]
+        bb = min(block_b, bsz)
+        while bsz % bb:  # largest divisor of bsz ≤ block_b (grid must tile exactly)
+            bb -= 1
+        xj = jnp.transpose(x.astype(f32), (1, 0, 2))  # [N, B, C]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pts, bsz, c_out), f32),
+            grid=(bsz // bb,),
+            in_specs=[
+                pl.BlockSpec((n_pts, bb, c_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                *w_specs,
+                _full_spec(seg_j.shape), _full_spec(segt_j.shape),
+            ],
+            out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(xj, *w_args, seg_j, segt_j)
         return jnp.transpose(out, (1, 0, 2))
 
     return fn

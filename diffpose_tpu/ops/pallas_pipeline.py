@@ -1,0 +1,68 @@
+"""Fused Pallas eval pipeline: lift + DDIM denoise in one device program.
+
+The reference evaluation protocol (``runners/diffpose_frame.py:300-340`` +
+``common/utils_diff.py:46-67``) lifts 2D keypoints with GCNpose, then runs
+the accelerated DDIM reverse loop (2 steps in the shipped configs) over
+the uvxyz batch from host Python.  Here the whole thing is a single jitted
+program whose three network forwards (1 lift + 2 denoise) each run as one
+whole-network Pallas kernel (weights VMEM-resident, zero intermediate HBM
+round-trips inside a forward); the tiny DDIM mixing math between kernels
+stays in XLA and fuses with the kernels' outputs.
+
+Parity grade: ``precision="bf16x3"`` (default) emulates f32 matmuls as
+three single-pass bf16 MXU products — same decomposition XLA uses for
+``jax.default_matmul_precision("float32")``, but compiled via Mosaic in
+seconds instead of the pathologically slow ``Precision.HIGHEST`` path
+(docs/PERF.md).  Verified against the CPU f32 module pipeline by the test
+suite (``tests/test_pallas_pipeline.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffpose_tpu.diffusion import ddim_sample
+from diffpose_tpu.ops.pallas_denoiser import make_pallas_denoiser, make_pallas_lifter
+
+__all__ = ["make_pallas_eval"]
+
+
+def make_pallas_eval(
+    params_pose: Dict[str, Any],
+    params_diff: Dict[str, Any],
+    basis: np.ndarray,
+    *,
+    seq: Sequence[int],
+    betas,
+    test_times: int = 1,
+    block_b: int = 128,
+    precision="bf16x3",
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    interpret: bool = False,
+):
+    """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` (root-relative mean
+    over ``test_times`` hypotheses), the fused-kernel equivalent of the
+    runner's eval step.  ``B·test_times`` must be divisible by ``block_b``.
+    """
+    kw = dict(
+        num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
+        block_b=block_b, precision=precision, interpret=interpret,
+    )
+    lift = make_pallas_lifter(params_pose, basis, **kw)
+    denoise = make_pallas_denoiser(params_diff, basis, **kw)
+
+    def eval_one(x2d):
+        xyz = lift(x2d)
+        xyz = xyz - xyz[:, :1, :]
+        uvxyz = jnp.concatenate([x2d, xyz], axis=-1)
+        uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
+        out = ddim_sample(denoise, uvxyz, seq, betas)
+        out = out.reshape(test_times, -1, x2d.shape[1], 5).mean(axis=0)
+        return out[..., 2:]
+
+    return eval_one

@@ -157,12 +157,13 @@ def make_eval_step(
     use_ema: bool = False,
     gmm_base_seed: int = 0,
     denoise_override: Optional[Callable] = None,
+    lift_override: Optional[Callable] = None,
 ):
     """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
 
-    ``denoise_override(x, t) → ε̂`` substitutes the denoiser forward (e.g.
-    the fused Pallas kernel built from the same weights); the module path
-    is the default.
+    ``denoise_override(x, t) → ε̂`` / ``lift_override(x2d) → xyz``
+    substitute the denoiser / lifter forwards (e.g. the fused Pallas
+    kernels built from the same weights); the module path is the default.
 
     Reference protocol (``runners/diffpose_frame.py:330-391``): draw a GMM
     kernel for the 2D input, lift with GCNPose, root-center, concatenate to
@@ -188,7 +189,10 @@ def make_eval_step(
         _, noise_scale, input_2d = sample_gmm_batch_per_sample(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
         )
-        xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
+        if lift_override is not None:
+            xyz = lift_override(input_2d)
+        else:
+            xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
         xyz = xyz - xyz[:, :1, :]
         uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
 

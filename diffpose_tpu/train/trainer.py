@@ -387,10 +387,17 @@ class DiffposeRunner:
             state = self.state
 
         denoise_override = None
+        lift_override = None
         if self.denoiser_impl == "pallas" and self.mesh is None:
-            # Build the fused whole-network kernel from the exact weights
-            # under evaluation (EMA shadow or live), f32-precision dots.
-            from diffpose_tpu.ops.pallas_denoiser import make_pallas_denoiser
+            # Build the fused whole-network kernels from the exact weights
+            # under evaluation (EMA shadow or live).  "bf16x3" = parity-grade
+            # f32 matmuls emulated as 3 single-pass bf16 MXU products — the
+            # same decomposition XLA's f32 precision uses, but Mosaic
+            # compiles it ~100× faster than Precision.HIGHEST (docs/PERF.md).
+            from diffpose_tpu.ops.pallas_denoiser import (
+                make_pallas_denoiser,
+                make_pallas_lifter,
+            )
 
             eval_params = (
                 state.ema_params
@@ -398,11 +405,17 @@ class DiffposeRunner:
                 else state.params
             )
             m = self.config.model
+            kernel_kw = dict(
+                num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
+                precision="bf16x3",
+            )
             denoise_override = make_pallas_denoiser(
                 jax.tree_util.tree_map(np.asarray, eval_params),
-                self.basis,
-                num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
-                precision=jax.lax.Precision.HIGHEST,
+                self.basis, **kernel_kw,
+            )
+            lift_override = make_pallas_lifter(
+                jax.tree_util.tree_map(np.asarray, self.pose_params),
+                self.basis, **kernel_kw,
             )
 
         if self.mesh is not None:
@@ -418,6 +431,7 @@ class DiffposeRunner:
                     test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                     use_ema=self.use_ema_eval,
                     denoise_override=denoise_override,
+                    lift_override=lift_override,
                 )
             )
 
@@ -464,6 +478,7 @@ class DiffposeRunner:
                     test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                     use_ema=self.use_ema_eval,
                     denoise_override=denoise_override,
+                    lift_override=lift_override,
                 )
                 sweep_fn = jax.jit(
                     lambda st, pp, batches, ks: jax.lax.map(
