@@ -69,6 +69,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--train_sweep", default=1, type=int, metavar="N",
                         help="optimizer steps per device dispatch (device-resident "
                         "dataset + lax.scan over an index array; single-mesh only)")
+    parser.add_argument("--hypothesis_parallel", default=0, type=int, metavar="H",
+                        help="shard test_times hypotheses over a second mesh axis "
+                        "(2-D data×hypothesis mesh; psum'd hypothesis mean)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "
@@ -135,10 +138,17 @@ def _ask_overwrite() -> bool:
 
 
 def make_mesh_if_requested(args):
-    if not getattr(args, "data_parallel", False):
+    hyp = getattr(args, "hypothesis_parallel", 0)
+    if not getattr(args, "data_parallel", False) and not hyp:
         return None
     from diffpose_tpu.parallel import make_mesh
 
+    if hyp:
+        import jax
+
+        n = len(jax.devices())
+        assert n % hyp == 0, f"{n} devices not divisible by hypothesis_parallel={hyp}"
+        return make_mesh((n // hyp, hyp), ("data", "hypothesis"))
     return make_mesh()
 
 

@@ -237,10 +237,14 @@ def make_sharded_eval_step(
     mask=None,
     use_ema: bool = False,
     sweep: int = 1,
+    hyp_axis: Optional[str] = None,
 ) -> Callable:
-    """Multi-chip eval step: frames shard over ``axis``; hypotheses stay
-    on-chip (``test_times`` replication inside the shard), per-sample P1/P2
-    come back sharded over ``axis``.
+    """Multi-chip eval step: frames shard over ``axis``; hypotheses either
+    stay on-chip (``test_times`` replication inside the shard) or, when
+    ``hyp_axis`` names a second mesh axis, shard over it (each shard
+    solves ``test_times / hyp_size`` hypotheses; the hypothesis mean is a
+    ``psum`` riding ICI — survey §2.6 hypothesis parallelism).  Per-sample
+    P1/P2 come back sharded over ``axis``.
 
     ``sweep > 1`` composes the device-side eval sweep with the mesh: the
     step then takes ``sweep``-stacked batches (``[S, B, ...]``, frame axis 1
@@ -249,9 +253,11 @@ def make_sharded_eval_step(
     host dispatch per chip, identical math to ``sweep=1``."""
     from diffpose_tpu.train.steps import make_eval_step
 
+    hyp_size = int(mesh.shape[hyp_axis]) if hyp_axis is not None else 1
     local_step = make_eval_step(
         diff_model, pose_model, betas, seq,
         test_times=test_times, eta=eta, mask=mask, use_ema=use_ema,
+        hyp_axis=hyp_axis, hyp_size=hyp_size,
     )
 
     keys = ("poses_2d_gmm", "poses_3d", "seeds")

@@ -158,12 +158,22 @@ def make_eval_step(
     gmm_base_seed: int = 0,
     denoise_override: Optional[Callable] = None,
     lift_override: Optional[Callable] = None,
+    hyp_axis: Optional[str] = None,
+    hyp_size: int = 1,
 ):
     """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
 
     ``denoise_override(x, t) → ε̂`` / ``lift_override(x2d) → xyz``
     substitute the denoiser / lifter forwards (e.g. the fused Pallas
     kernels built from the same weights); the module path is the default.
+
+    ``hyp_axis``/``hyp_size``: hypothesis parallelism (survey §2.6) — when
+    the step runs inside ``shard_map`` over a 2-D ``(data, hypothesis)``
+    mesh, each hypothesis shard computes ``test_times // hyp_size``
+    hypotheses and the hypothesis mean is a ``psum`` over ``hyp_axis``
+    (ICI).  The deterministic protocol (no start noise, η=0 — the
+    reference eval) is invariant to the split; stochastic hypothesis
+    draws are decorrelated per shard by key folding.
 
     Reference protocol (``runners/diffpose_frame.py:330-391``): draw a GMM
     kernel for the 2D input, lift with GCNPose, root-center, concatenate to
@@ -176,10 +186,17 @@ def make_eval_step(
     reference persists EMA but never swaps it in; both paths exist here).
     """
     seq = tuple(int(s) for s in seq)
+    if hyp_axis is not None:
+        assert test_times % hyp_size == 0, (test_times, hyp_size)
+    tt_local = test_times // hyp_size if hyp_axis is not None else test_times
 
     def eval_step(state: TrainState, pose_params, batch: dict, key: Array):
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         k_noise, k_ddim = jax.random.split(key)
+        if hyp_axis is not None:
+            hyp_id = jax.lax.axis_index(hyp_axis)
+            k_noise = jax.random.fold_in(k_noise, hyp_id)
+            k_ddim = jax.random.fold_in(k_ddim, hyp_id)
 
         # Per-sample-keyed kernel draw from a FIXED base key → the draw
         # depends only on the loader's per-sample seeds, so results are
@@ -196,9 +213,9 @@ def make_eval_step(
         xyz = xyz - xyz[:, :1, :]
         uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
 
-        uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
+        uvxyz = jnp.tile(uvxyz, (tt_local, 1, 1))
         if add_start_noise:
-            ns = jnp.tile(noise_scale, (test_times, 1, 1))
+            ns = jnp.tile(noise_scale, (tt_local, 1, 1))
             e = jax.random.normal(k_noise, uvxyz.shape, uvxyz.dtype) * ns
             t0 = jnp.full((uvxyz.shape[0],), seq[-1], jnp.int32)
             uvxyz = q_sample(uvxyz, t0, e, betas)
@@ -209,7 +226,12 @@ def make_eval_step(
             return diff_model.apply({"params": params}, x, t, mask)
 
         out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=k_ddim)
-        out = out.reshape(test_times, -1, out.shape[1], out.shape[2]).mean(axis=0)
+        out = out.reshape(tt_local, -1, out.shape[1], out.shape[2])
+        if hyp_axis is not None:
+            # hypothesis mean across the mesh axis: local sum → psum (ICI)
+            out = jax.lax.psum(out.sum(axis=0), hyp_axis) / test_times
+        else:
+            out = out.mean(axis=0)
 
         pred_xyz = out[..., 2:]
         pred_xyz = pred_xyz - pred_xyz[:, :1, :]

@@ -418,11 +418,16 @@ class DiffposeRunner:
                 self.basis, **kernel_kw,
             )
 
+        hyp_axis = (
+            "hypothesis"
+            if self.mesh is not None and "hypothesis" in self.mesh.axis_names
+            else None
+        )
         if self.mesh is not None:
             eval_fn = make_sharded_eval_step(
                 self.model_diff, self.model_pose, self.betas, seq, self.mesh,
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
-                use_ema=self.use_ema_eval,
+                use_ema=self.use_ema_eval, hyp_axis=hyp_axis,
             )
         else:
             eval_fn = jax.jit(
@@ -467,7 +472,7 @@ class DiffposeRunner:
                 sweep_fn = make_sharded_eval_step(
                     self.model_diff, self.model_pose, self.betas, seq, self.mesh,
                     test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
-                    use_ema=self.use_ema_eval, sweep=sweep,
+                    use_ema=self.use_ema_eval, sweep=sweep, hyp_axis=hyp_axis,
                 )
                 from jax.sharding import NamedSharding, PartitionSpec as P
 

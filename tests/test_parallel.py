@@ -110,3 +110,31 @@ def test_shard_batch_layout():
     for v in batch.values():
         assert not v.sharding.is_fully_replicated
         assert v.sharding.spec[0] == "data"
+
+
+def test_hypothesis_parallel_eval_matches_single_device():
+    """2-D (data × hypothesis) mesh: each hypothesis shard solves
+    test_times/H hypotheses; the psum'd mean matches the on-chip result
+    (deterministic protocol — the reference eval)."""
+    mesh = make_mesh((4, 2), ("data", "hypothesis"))
+    ds = make_synthetic_dataset(num_frames=64, seed=6)
+    loader = BatchLoader(ds, batch_size=64, shuffle=False)
+    diff, pose = _models()
+    opt = make_optimizer()
+    state = _state(diff, opt, jax.random.PRNGKey(7))
+    pose_params = pose.init({"params": jax.random.PRNGKey(8)}, jnp.zeros((2, 17, 2)))["params"]
+
+    batch = next(iter(loader.epoch(0)))
+    key = jax.random.PRNGKey(9)
+
+    single = jax.jit(make_eval_step(diff, pose, BETAS, (0, 12), test_times=4))
+    p1_s, p2_s, pred_s = single(state, pose_params, batch, key)
+
+    sharded = make_sharded_eval_step(
+        diff, pose, BETAS, (0, 12), mesh, test_times=4, hyp_axis="hypothesis"
+    )
+    p1_m, p2_m, pred_m = sharded(state, pose_params, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(np.asarray(pred_s), np.asarray(pred_m), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1_s), np.asarray(p1_m), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2_s), np.asarray(p2_m), atol=1e-5)
