@@ -91,10 +91,13 @@ class ImplicitConfig:
     min_iterations: int = 10
     use_warm_start: bool = False
     warm_start_momentum: float = 0.9
-    # Adaptive knobs accepted for YAML compatibility.  They are inert in the
-    # REFERENCE too: they appear only in configs/human36m_ipose.yml:34-41 and
-    # are never read by any reference code (verified by grep) — so parsing
-    # and ignoring them is exact behavioral parity, not a gap.
+    # Adaptive knobs.  The REFERENCE declares these in
+    # configs/human36m_ipose.yml:34-41 but never reads them anywhere (verified
+    # by grep) — here they are IMPLEMENTED (beyond-reference):
+    # use_adaptive_alpha → residual-monitored relaxation in the damped solver
+    # (models/igcn.py:_solve_damped); use_progressive_tol → linear tolerance
+    # annealing over global steps in the train step
+    # (train/implicit_steps.py:make_implicit_train_step).
     use_adaptive_alpha: bool = False
     init_alpha: float = 0.5
     min_alpha: float = 0.1

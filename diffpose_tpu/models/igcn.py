@@ -61,6 +61,14 @@ class IGCN(nn.Module):
     anderson_beta: float = 1.0
     anderson_lambda: float = 0.1
     relaxation_alpha: float = 0.5
+    # Adaptive relaxation for the damped solver (the reference DECLARES
+    # ``use_adaptive_alpha``/``min_alpha``/``max_alpha`` in
+    # ``configs/human36m_ipose.yml:34-37`` but never reads them; here the
+    # knob is real): grow α on residual improvement, shrink on regression,
+    # clamped to [min_alpha, max_alpha].
+    use_adaptive_alpha: bool = False
+    min_alpha: float = 0.1
+    max_alpha: float = 0.9
     bn_momentum: float = 0.1  # torch BatchNorm1d default
 
     @property
@@ -134,6 +142,7 @@ class IGCN(nn.Module):
         z0: Optional[Array] = None,
         z0_weight: Optional[Array] = None,
         differentiable: Optional[bool] = None,
+        tolerance_override: Optional[Array] = None,
     ):
         """Solve the fixed point and project out; returns (out, aux).
 
@@ -146,6 +155,11 @@ class IGCN(nn.Module):
         start, so one compiled program serves both cases.  Without
         ``z0_weight``, ``z0`` is used verbatim.  ``differentiable`` forces
         the scan (fixed-count) path; defaults to ``train``.
+
+        ``tolerance_override`` (a traced scalar is fine) replaces the static
+        ``tolerance`` in the convergence predicate — the hook for the
+        progressive-tolerance schedule (``use_progressive_tol``), which the
+        train step computes from the global step.
         """
         if differentiable is None:
             differentiable = train
@@ -162,10 +176,14 @@ class IGCN(nn.Module):
             w = jnp.asarray(z0_weight, out.dtype)
             z = w * jax.lax.stop_gradient(z0) + (1 - w) * out
 
+        tol = jnp.asarray(
+            self.tolerance if tolerance_override is None else tolerance_override,
+            jnp.float32,
+        )
         if self.solver == "anderson":
-            z_star, aux, stats = self._solve_anderson(z, temb, mask, train, differentiable)
+            z_star, aux, stats = self._solve_anderson(z, temb, mask, train, differentiable, tol)
         else:
-            z_star, aux, stats = self._solve_damped(z, temb, mask, train, differentiable)
+            z_star, aux, stats = self._solve_damped(z, temb, mask, train, differentiable, tol)
 
         if train and stats is not None and not self.is_initializing():
             m = self.bn_momentum
@@ -181,25 +199,67 @@ class IGCN(nn.Module):
         err = jnp.linalg.norm(z - z_prev) / (jnp.linalg.norm(z_prev) + 1e-8)
         return err
 
-    def _solve_damped(self, z: Array, temb: Array, mask, train: bool, differentiable: bool):
-        """Damped iteration ``z ← (1−α) z + α f(z)`` (igcn.py:250-282)."""
-        alpha = self.relaxation_alpha
+    def _solve_damped(self, z: Array, temb: Array, mask, train: bool, differentiable: bool, tol: Array):
+        """Damped iteration ``z ← (1−α) z + α f(z)`` (igcn.py:250-282).
+
+        With ``use_adaptive_alpha`` the relaxation is residual-monitored:
+        α grows ×1.25 when the relative update shrank (take bolder steps),
+        halves when it grew (back off), clamped to [min_alpha, max_alpha] —
+        the standard adaptive-relaxation heuristic the reference's config
+        names but never implements.  α lives in the loop carry, so the
+        whole schedule stays one compiled device loop.
+        """
+        adaptive = self.use_adaptive_alpha
+
+        if self.is_initializing():
+            # Param creation must happen OUTSIDE the device loop (creating
+            # them inside lax.while_loop leaks tracers); one plain step
+            # suffices to build every submodule.
+            fz, stats = self._f(z, temb, mask, train)
+            z1 = (1 - self.relaxation_alpha) * z + self.relaxation_alpha * fz
+            aux = {
+                "iterations": jnp.ones((), jnp.int32),
+                "residual": self._converged(z1, z),
+                "alpha": jnp.asarray(self.relaxation_alpha, z.dtype),
+            }
+            return z1, aux, stats
 
         def body(carry, _=None):
-            z, _, it, done, stats = carry
+            z, prev_err, alpha, it, done, stats = carry
             fz, new_stats = self._f(z, temb, mask, train)
             z_new = (1 - alpha) * z + alpha * fz
             err = self._converged(z_new, z)
-            new_done = done | ((it + 1 >= self.min_iterations) & (err < self.tolerance))
+            if adaptive:
+                grown = jnp.minimum(alpha * 1.25, self.max_alpha)
+                shrunk = jnp.maximum(alpha * 0.5, self.min_alpha)
+                alpha_new = jnp.where(err < prev_err, grown, shrunk)
+                alpha = jnp.where(done, alpha, alpha_new)
+            new_done = done | ((it + 1 >= self.min_iterations) & (err < tol))
             z_out = jnp.where(done, z, z_new)
+            err_out = jnp.where(done, prev_err, err)
             stats = jax.tree_util.tree_map(
                 lambda old, new: jnp.where(done, old, new), stats, new_stats
             )
-            return (z_out, err, it + jnp.where(done, 0, 1), new_done, stats), None
+            return (z_out, err_out, alpha, it + jnp.where(done, 0, 1), new_done, stats), None
 
-        return self._run(body, z, differentiable)
+        init = (
+            z, jnp.asarray(jnp.inf, z.dtype),
+            jnp.asarray(self.relaxation_alpha, z.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+            (jnp.zeros((self.hid_dim,), z.dtype), jnp.ones((self.hid_dim,), z.dtype)),
+        )
+        if differentiable:
+            carry, _ = jax.lax.scan(body, init, None, length=self.max_iterations)
+        else:
+            def cond(carry):
+                _, _, _, it, done, _ = carry
+                return (it < self.max_iterations) & (~done)
 
-    def _solve_anderson(self, z: Array, temb: Array, mask, train: bool, differentiable: bool):
+            carry = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
+        z_star, err, alpha, iters, _, stats = carry
+        return z_star, {"iterations": iters, "residual": err, "alpha": alpha}, stats
+
+    def _solve_anderson(self, z: Array, temb: Array, mask, train: bool, differentiable: bool, tol: Array):
         """Anderson acceleration (igcn.py:293-438) with masked fixed-size history."""
         m = min(self.anderson_m, self.max_iterations)
         beta = self.anderson_beta
@@ -251,7 +311,7 @@ class IGCN(nn.Module):
 
             fz_new, new_stats = self._f(z_new, temb, mask, train)
             err = self._converged(z_new, z)
-            new_done = done | ((it + 1 >= self.min_iterations) & (err < self.tolerance))
+            new_done = done | ((it + 1 >= self.min_iterations) & (err < tol))
             z_out = jnp.where(done, z, z_new)
             fz_out = jnp.where(done, fz, fz_new)
             stats = jax.tree_util.tree_map(
@@ -274,19 +334,3 @@ class IGCN(nn.Module):
         z_star, _, _, _, err, iters, _, stats = carry
         return z_star, {"iterations": iters, "residual": err}, stats
 
-    def _run(self, body, z, differentiable: bool):
-        init = (
-            z, jnp.asarray(jnp.inf, z.dtype), jnp.zeros((), jnp.int32),
-            jnp.zeros((), bool),
-            (jnp.zeros((self.hid_dim,), z.dtype), jnp.ones((self.hid_dim,), z.dtype)),
-        )
-        if differentiable:
-            carry, _ = jax.lax.scan(body, init, None, length=self.max_iterations)
-        else:
-            def cond(carry):
-                _, _, it, done, _ = carry
-                return (it < self.max_iterations) & (~done)
-
-            carry = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
-        z_star, err, iters, _, stats = carry
-        return z_star, {"iterations": iters, "residual": err}, stats

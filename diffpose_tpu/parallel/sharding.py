@@ -84,18 +84,23 @@ def make_sharded_implicit_train_step(
     mask=None,
     donate: bool = True,
     use_warm_start: bool = False,
+    tol_schedule=None,
 ) -> Callable:
     """Data-parallel IGCN training: grads, loss AND BatchNorm batch stats
     are pmean-reduced over the mesh axis (ICI).
 
     ``use_warm_start``: the step takes ``(z0, z0_weight)`` extras — ``z0``
     sharded over ``axis`` like the batch — and returns the solved fixed
-    point in ``metrics["fixed_point"]`` (still sharded, never gathered)."""
+    point in ``metrics["fixed_point"]`` (still sharded, never gathered).
+
+    ``tol_schedule``: progressive solver tolerance, forwarded to
+    :func:`make_implicit_train_step` (computed from ``state.step``, which
+    is replicated, so every shard anneals identically)."""
     from diffpose_tpu.train.implicit_steps import make_implicit_train_step
 
     base_step = make_implicit_train_step(
         model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis,
-        use_warm_start=use_warm_start,
+        use_warm_start=use_warm_start, tol_schedule=tol_schedule,
     )
 
     keys = ("poses_2d_gmm", "poses_3d")

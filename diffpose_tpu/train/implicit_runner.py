@@ -64,6 +64,10 @@ class ImplicitRunner(DiffposeRunner):
             anderson_m=imp.anderson_m,
             anderson_beta=imp.anderson_beta,
             anderson_lambda=imp.anderson_lambda,
+            use_adaptive_alpha=imp.use_adaptive_alpha,
+            relaxation_alpha=imp.init_alpha,
+            min_alpha=imp.min_alpha,
+            max_alpha=imp.max_alpha,
         )
         variables = self.model_diff.init(
             {"params": self._next_key()},
@@ -116,18 +120,25 @@ class ImplicitRunner(DiffposeRunner):
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
         imp = self.config.implicit or ImplicitConfig()
         warm = imp.use_warm_start
+        tol_schedule = (
+            (imp.init_tol, imp.final_tol, imp.tol_decay_steps)
+            if imp.use_progressive_tol
+            else None
+        )
         if self.mesh is not None:
             from diffpose_tpu.parallel.sharding import make_sharded_implicit_train_step
 
             step_fn = make_sharded_implicit_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
                 ema_mu=ema_mu, mask=self.mask, use_warm_start=warm,
+                tol_schedule=tol_schedule,
             )
         else:
             step_fn = jax.jit(
                 make_implicit_train_step(
                     self.model_diff, optimizer, self.betas, ema_mu=ema_mu,
                     mask=self.mask, use_warm_start=warm,
+                    tol_schedule=tol_schedule,
                 ),
                 donate_argnums=(0,),
             )

@@ -13,7 +13,7 @@ Differences from the standard steps (reference ``runners/implicit_pose.py``):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,18 +38,36 @@ def make_implicit_train_step(
     mask: Optional[Array] = None,
     axis_name: Optional[str] = None,
     use_warm_start: bool = False,
+    tol_schedule: Optional[Tuple[float, float, int]] = None,
 ):
     """``use_warm_start=True`` threads the previous batch's fixed point in:
     the step takes two extra args ``(z0, z0_weight)`` and its metrics carry
     ``fixed_point`` (detached) for the caller to feed forward — the
     reference's ``last_fixed_point`` buffer + momentum blend
-    (``igcn.py:309-313, 433``) as an explicit functional carry."""
+    (``igcn.py:309-313, 433``) as an explicit functional carry.
+
+    ``tol_schedule=(init_tol, final_tol, decay_steps)``: progressive
+    solver tolerance (the ``use_progressive_tol`` knob the reference's
+    config declares at ``configs/human36m_ipose.yml:39-42`` but never
+    reads) — the convergence tolerance anneals linearly from ``init_tol``
+    to ``final_tol`` over ``decay_steps`` global steps, computed on device
+    from ``state.step`` so one compiled program covers the whole schedule.
+    Early training tolerates loose solves (cheap); late training demands
+    tight fixed points."""
     num_timesteps = len(betas)
 
     def train_step(state: TrainState, batch: dict, key: Array, z0=None, z0_weight=None):
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+
+        tol = None
+        if tol_schedule is not None:
+            init_tol, final_tol, decay_steps = tol_schedule
+            frac = jnp.clip(
+                state.step.astype(jnp.float32) / max(decay_steps, 1), 0.0, 1.0
+            )
+            tol = init_tol + (final_tol - init_tol) * frac
 
         uvxyz, noise_scale, _ = sample_gmm_batch(
             k_gmm, batch["poses_2d_gmm"], batch["poses_3d"]
@@ -64,7 +82,7 @@ def make_implicit_train_step(
                 {"params": params, "batch_stats": state.model_state},
                 x_t, t.astype(jnp.float32), mask,
                 train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
-                z0=z0, z0_weight=z0_weight,
+                z0=z0, z0_weight=z0_weight, tolerance_override=tol,
             )
             loss = jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))
             return loss, (aux, updates["batch_stats"])
@@ -96,6 +114,8 @@ def make_implicit_train_step(
             "fp_iterations": aux["iterations"],
             "fp_residual": aux["residual"],
         }
+        if tol is not None:
+            metrics["fp_tolerance"] = tol
         if use_warm_start:
             metrics["fixed_point"] = jax.lax.stop_gradient(aux["fixed_point"])
         return new_state, metrics

@@ -8,7 +8,10 @@ Times, at batch 1024 (reference train config):
 
 Optionally writes a ``jax.profiler`` trace of (b) to ``/tmp/train_trace``.
 
-Usage: python scripts/probe_train.py [iters] [--trace]
+Usage: python scripts/probe_train.py [iters] [--trace] [--f32]
+
+``--f32``: true-f32 matmul passes (the trainer's parity-grade default,
+``train_matmul_precision="float32"``); default is single-pass bf16.
 """
 
 from __future__ import annotations
@@ -19,9 +22,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+# NOTE: do not enable the persistent compilation cache here — this
+# environment's backend rejects it at execute time (INVALID_ARGUMENT).
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +31,7 @@ import numpy as np
 
 from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
 from diffpose_tpu.models import GCNDiff
-from diffpose_tpu.train.optim import get_optimizer
+from diffpose_tpu.train.optim import make_optimizer
 from diffpose_tpu.train.state import TrainState
 from diffpose_tpu.train.steps import make_train_step, make_train_sweep_step
 from diffpose_tpu.diffusion import get_beta_schedule
@@ -42,6 +44,11 @@ K_GMM = 5
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 30
     trace = "--trace" in sys.argv
+    if "--f32" in sys.argv:
+        jax.config.update("jax_default_matmul_precision", "float32")
+        print("matmul precision: float32 (parity-grade)", flush=True)
+    else:
+        print("matmul precision: default (single-pass bf16)", flush=True)
 
     basis = cheb_basis_from_edges(17, H36M_EDGES)
     betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
@@ -49,16 +56,19 @@ def main():
     model = GCNDiff(basis=basis)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((2, 17, 5)), jnp.zeros((2,)))["params"]
-    opt = get_optimizer("adam", 2e-4)
+    opt = make_optimizer(lr=2e-4, steps_per_epoch=1)
+    # ema_params must be a COPY: aliasing params in a donated pytree makes
+    # the TPU runtime reject the execute (same buffer donated twice).
+    from diffpose_tpu.models import ema_register
     state = TrainState.create(params=params, opt_state=opt.init(params),
-                              ema_params=params)
+                              ema_params=ema_register(params))
     mask = jnp.ones((1, 1, 17))
 
     rng = np.random.default_rng(0)
     pool3d = rng.normal(size=(N_DATA, 17, 3)).astype(np.float32)
     pool2d = rng.normal(size=(N_DATA, 17, K_GMM, 5)).astype(np.float32)
-    pool2d[..., 4] = np.abs(pool2d[..., 4]) + 0.5  # kernel weights
-    pool2d[..., 2:4] = np.abs(pool2d[..., 2:4]) * 0.01 + 1e-3
+    pool2d[..., 0] = np.abs(pool2d[..., 0]) + 0.5  # kernel weights
+    pool2d[..., 3:5] = np.abs(pool2d[..., 3:5]) * 0.01 + 1e-3  # var_u, var_v
 
     step = make_train_step(model, opt, betas, mask=mask)
     step_j = jax.jit(step, donate_argnums=(0,))
