@@ -68,7 +68,8 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="eval batches per device dispatch (lax.map; identical results)")
     parser.add_argument("--train_sweep", default=1, type=int, metavar="N",
                         help="optimizer steps per device dispatch (device-resident "
-                        "dataset + lax.scan over an index array; single-mesh only)")
+                        "dataset + lax.scan over an index array; composes with "
+                        "--data_parallel: data replicated, batch indices sharded)")
     parser.add_argument("--hypothesis_parallel", default=0, type=int, metavar="H",
                         help="shard test_times hypotheses over a second mesh axis "
                         "(2-D data×hypothesis mesh; psum'd hypothesis mean)")

@@ -73,6 +73,72 @@ def make_sharded_train_step(
     return step
 
 
+def make_sharded_train_sweep_step(
+    model,
+    optimizer,
+    betas,
+    mesh: Mesh,
+    *,
+    sweep: int,
+    axis: str = "data",
+    ema_mu: Optional[float] = 0.999,
+    mask=None,
+    donate: bool = True,
+) -> Callable:
+    """Device-resident-data training × data parallelism: ``sweep``
+    optimizer steps per dispatch, batch sharded over ``axis``.
+
+    The training dataset is REPLICATED on every device (H3.6M train is
+    ~1.9 GB — small next to per-chip HBM) and each dispatch carries only a
+    ``[sweep, B]`` int32 index array whose batch axis shards over the
+    mesh: shard ``d`` gathers and trains on rows ``idx[:, d·B/D:(d+1)·B/D]``.
+    Inside the shard a ``lax.scan`` runs ``sweep`` full steps (gather →
+    GMM draw → q-sample → fwd/bwd → pmean(grads) → Adam → EMA), so the
+    per-step host cost of the standard path (staging ~2.4 MB through the
+    interconnect per step — the round-1 "30 ms mystery", docs/PERF.md) is
+    paid once per ``sweep`` steps and only for a few KB of indices.
+
+    Semantics: identical to ``sweep`` sequential calls of
+    :func:`make_sharded_train_step` on the batches ``data[idx[s]]`` with
+    keys ``jax.random.split(key, sweep)`` (exact-equality tested).
+
+    Returns ``step(state, data, idx, key) → (state, {"loss": [sweep]})``
+    where ``data`` holds replicated device-resident arrays.
+    """
+    from diffpose_tpu.train.steps import make_train_step
+
+    base = make_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis
+    )
+    keys = ("poses_2d_gmm", "poses_3d")
+
+    def local_sweep(state, data, idx, key):
+        ks = jax.random.split(key, sweep)
+
+        def body(st, args):
+            ids, k = args
+            batch = {name: data[name][ids] for name in keys}
+            st, metrics = base(st, batch, k)
+            return st, metrics["loss"]
+
+        state, losses = jax.lax.scan(body, state, (idx, ks))
+        return state, {"loss": losses}
+
+    sharded = jax.shard_map(
+        local_sweep,
+        mesh=mesh,
+        in_specs=(P(), {k: P() for k in keys}, P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def step(state, data, idx, key):
+        return jitted(state, {k: data[k] for k in keys}, idx, key)
+
+    return step
+
+
 def make_sharded_implicit_train_step(
     model,
     optimizer,

@@ -81,8 +81,9 @@ class DiffposeRunner:
         self.eval_sweep = eval_sweep
         # >1: device-resident-data training — `train_sweep` optimizer steps
         # per dispatch (lax.scan over an index array; the dataset lives in
-        # HBM, the host sends only int32 indices).  See
-        # steps.make_train_sweep_step; single-mesh path only.
+        # HBM, the host sends only int32 indices).  Composes with the mesh
+        # (data replicated, index batch axis sharded).  See
+        # steps.make_train_sweep_step / sharding.make_sharded_train_sweep_step.
         self.train_sweep = train_sweep
         self.denoiser_impl = denoiser_impl
         # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
@@ -284,32 +285,49 @@ class DiffposeRunner:
         # Device-resident-data sweep path: the whole train set goes to HBM
         # once; each dispatch carries only a [sweep, B] index array and runs
         # `sweep` optimizer steps in a lax.scan (see make_train_sweep_step).
-        use_sweep = self.train_sweep > 1 and self.mesh is None
+        # Composes with the mesh: data replicated per chip, the index
+        # array's batch axis sharded over `data`, grads pmean'd over ICI
+        # (make_sharded_train_sweep_step).
+        use_sweep = self.train_sweep > 1
         if use_sweep:
-            from diffpose_tpu.train.steps import make_train_sweep_step
-
             ema_mu = self.config.model.ema_rate if self.config.model.ema else None
-            data_dev = {
-                "poses_3d": jax.device_put(self.train_data.poses_3d),
-                "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm),
-            }
-            sweep_fn = jax.jit(
-                make_train_sweep_step(
-                    self.model_diff, optimizer, self.betas,
-                    sweep=self.train_sweep, ema_mu=ema_mu, mask=self.mask,
-                ),
-                donate_argnums=(0,),
-            )
-            tail = steps_per_epoch % self.train_sweep
-            tail_fn = None
-            if tail:
-                tail_fn = jax.jit(
-                    make_train_sweep_step(
-                        self.model_diff, optimizer, self.betas,
-                        sweep=tail, ema_mu=ema_mu, mask=self.mask,
-                    ),
-                    donate_argnums=(0,),
+            if self.mesh is not None:
+                from diffpose_tpu.parallel.sharding import (
+                    make_sharded_train_sweep_step,
+                    replicated,
                 )
+
+                rep = replicated(self.mesh)
+                data_dev = {
+                    "poses_3d": jax.device_put(self.train_data.poses_3d, rep),
+                    "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm, rep),
+                }
+
+                def build_sweep(n):
+                    return make_sharded_train_sweep_step(
+                        self.model_diff, optimizer, self.betas, self.mesh,
+                        sweep=n, ema_mu=ema_mu, mask=self.mask,
+                    )
+            else:
+                from diffpose_tpu.train.steps import make_train_sweep_step
+
+                data_dev = {
+                    "poses_3d": jax.device_put(self.train_data.poses_3d),
+                    "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm),
+                }
+
+                def build_sweep(n):
+                    return jax.jit(
+                        make_train_sweep_step(
+                            self.model_diff, optimizer, self.betas,
+                            sweep=n, ema_mu=ema_mu, mask=self.mask,
+                        ),
+                        donate_argnums=(0,),
+                    )
+
+            sweep_fn = build_sweep(self.train_sweep)
+            tail = steps_per_epoch % self.train_sweep
+            tail_fn = build_sweep(tail) if tail else None
 
         sharding = data_sharding(self.mesh) if self.mesh is not None else None
         for epoch in range(start_epoch, self.config.training.n_epochs):

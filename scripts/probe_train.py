@@ -22,8 +22,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-# NOTE: do not enable the persistent compilation cache here — this
-# environment's backend rejects it at execute time (INVALID_ARGUMENT).
+# (No persistent-cache env: this backend ignores the JAX compilation
+# cache — no entries are ever written — so setting it buys nothing.)
 
 import jax
 import jax.numpy as jnp

@@ -138,3 +138,56 @@ def test_hypothesis_parallel_eval_matches_single_device():
     np.testing.assert_allclose(np.asarray(pred_s), np.asarray(pred_m), atol=1e-6)
     np.testing.assert_allclose(np.asarray(p1_s), np.asarray(p1_m), atol=1e-6)
     np.testing.assert_allclose(np.asarray(p2_s), np.asarray(p2_m), atol=1e-5)
+
+
+def test_sharded_train_sweep_matches_sequential_sharded_steps():
+    """make_sharded_train_sweep_step(sweep=S) must equal S sequential
+    make_sharded_train_step calls on the gathered batches with the same
+    split keys — device-resident-data training composed with the mesh."""
+    from diffpose_tpu.parallel.sharding import (
+        make_sharded_train_sweep_step,
+        replicated,
+    )
+
+    mesh = make_mesh()
+    ds = make_synthetic_dataset(num_frames=512, seed=3)
+    diff, _ = _models()
+    opt = make_optimizer(lr=1e-3, steps_per_epoch=10)
+
+    sweep, b = 3, 64
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, len(ds), size=(sweep, b)).astype(np.int32))
+    key = jax.random.PRNGKey(7)
+
+    data_host = {
+        "poses_3d": jnp.asarray(ds.poses_3d),
+        "poses_2d_gmm": jnp.asarray(ds.poses_2d_gmm),
+    }
+
+    # reference trajectory: sequential sharded steps
+    state_ref = _state(diff, opt, jax.random.PRNGKey(4))
+    step_fn = make_sharded_train_step(diff, opt, BETAS, mesh, donate=False)
+    losses_ref = []
+    for s, k in enumerate(jax.random.split(key, sweep)):
+        batch = {name: data_host[name][idx[s]] for name in data_host}
+        state_ref, metrics = step_fn(state_ref, shard_batch(mesh, batch), k)
+        losses_ref.append(float(metrics["loss"]))
+
+    # sweep trajectory: one dispatch
+    state_sw = _state(diff, opt, jax.random.PRNGKey(4))
+    rep = replicated(mesh)
+    data_dev = {k: jax.device_put(v, rep) for k, v in data_host.items()}
+    sweep_fn = make_sharded_train_sweep_step(
+        diff, opt, BETAS, mesh, sweep=sweep, donate=False
+    )
+    state_sw, metrics = sweep_fn(state_sw, data_dev, idx, key)
+
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), np.asarray(losses_ref), rtol=1e-6
+    )
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(state_ref.params),
+        jax.tree_util.tree_leaves(state_sw.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+    assert int(state_sw.step) == sweep
