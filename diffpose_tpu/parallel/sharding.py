@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -207,6 +208,71 @@ def make_sharded_implicit_train_step(
 
     def step(state, batch, key):
         return jitted(state, {k: batch[k] for k in keys}, key)
+
+    return step
+
+
+def make_sharded_implicit_eval_step(
+    implicit_model,
+    pose_model,
+    mesh: Mesh,
+    *,
+    t_infer: int,
+    test_times: int = 1,
+    axis: str = "data",
+    mask=None,
+    use_ema: bool = False,
+    gmm_base_seed: int = 0,
+    use_warm_start: bool = False,
+) -> Callable:
+    """Sharded direct-inference eval: frames shard over ``axis``, each
+    shard runs its own fixed-point solve.
+
+    Convergence (and the Anderson history/mixing, which couples the whole
+    local batch through the global-norm predicate and the Gram solve) is
+    PER SHARD — exactly the reference's chunked-eval semantics, where each
+    chunk solves independently (``implicit_pose.py:222-268, 523-526``).
+    With a fixed iteration count (``min_iterations == max_iterations``)
+    and the per-sample damped solver the sharded result equals the
+    single-device result bitwise-closely (tested).
+
+    Returns ``step(state, pose_params, batch, key[, z0, z0_weight]) →
+    (p1, p2, pred, iters[, fp])`` where ``iters`` is ``[n_shards]`` (one
+    solver count per shard; the single-device step returns a scalar) and
+    ``z0``/``fp`` stay sharded like the batch.
+    """
+    from diffpose_tpu.train.implicit_steps import make_implicit_eval_step
+
+    base = make_implicit_eval_step(
+        implicit_model, pose_model, t_infer=t_infer, test_times=test_times,
+        mask=mask, use_ema=use_ema, gmm_base_seed=gmm_base_seed,
+        use_warm_start=use_warm_start,
+    )
+    keys = ("poses_2d_gmm", "poses_3d", "seeds")
+    batch_spec = P(axis)
+
+    if use_warm_start:
+        def local_step(state, pose_params, batch, key, z0, z0_weight):
+            p1, p2, pred, iters, fp = base(state, pose_params, batch, key, z0, z0_weight)
+            return p1, p2, pred, jnp.atleast_1d(iters), fp
+
+        in_specs = (P(), P(), {k: batch_spec for k in keys}, P(), batch_spec, P())
+        out_specs = (batch_spec, batch_spec, batch_spec, batch_spec, batch_spec)
+    else:
+        def local_step(state, pose_params, batch, key):
+            p1, p2, pred, iters = base(state, pose_params, batch, key)
+            return p1, p2, pred, jnp.atleast_1d(iters)
+
+        in_specs = (P(), P(), {k: batch_spec for k in keys}, P())
+        out_specs = (batch_spec, batch_spec, batch_spec, batch_spec)
+
+    sharded = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+
+    def step(state, pose_params, batch, key, *extras):
+        return sharded(state, pose_params, {k: batch[k] for k in keys}, key, *extras)
 
     return step
 

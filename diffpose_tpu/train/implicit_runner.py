@@ -192,14 +192,27 @@ class ImplicitRunner(DiffposeRunner):
 
         imp = self.config.implicit or ImplicitConfig()
         warm = imp.use_warm_start
-        eval_fn = jax.jit(
-            make_implicit_eval_step(
-                self.model_diff, self.model_pose,
+        if self.mesh is not None:
+            # Frames shard over `data`; each shard solves independently —
+            # the reference's chunked-eval semantics (one fixed-point solve
+            # per chunk, implicit_pose.py:523-526), chunk = shard.
+            from diffpose_tpu.parallel.sharding import make_sharded_implicit_eval_step
+
+            eval_fn = make_sharded_implicit_eval_step(
+                self.model_diff, self.model_pose, self.mesh,
                 t_infer=t_cfg.test_num_diffusion_timesteps,
                 test_times=t_cfg.test_times, mask=self.mask,
                 use_ema=self.use_ema_eval, use_warm_start=warm,
             )
-        )
+        else:
+            eval_fn = jax.jit(
+                make_implicit_eval_step(
+                    self.model_diff, self.model_pose,
+                    t_infer=t_cfg.test_num_diffusion_timesteps,
+                    test_times=t_cfg.test_times, mask=self.mask,
+                    use_ema=self.use_ema_eval, use_warm_start=warm,
+                )
+            )
 
         loader = self._make_loader(self.test_data, shuffle=False)
         error_sum = define_error_list(list(self.test_data.actions))
@@ -209,23 +222,28 @@ class ImplicitRunner(DiffposeRunner):
 
         # Warm-start carry across eval batches (reference last_fixed_point;
         # reset at eval entry, implicit_pose.py:466-467).
+        from diffpose_tpu.parallel.sharding import data_sharding, shard_batch
+
         z0, z0_w = None, 0.0
         for batch in loader.epoch(0):
             t0 = time.time()
+            dev_batch = shard_batch(self.mesh, batch) if self.mesh is not None else batch
             if warm:
                 if z0 is None:
                     n = batch["poses_3d"].shape[0] * t_cfg.test_times
                     z0 = jnp.zeros((n, self.config.model.n_pts, self.config.model.hid_dim))
+                    if self.mesh is not None:
+                        z0 = jax.device_put(z0, data_sharding(self.mesh))
                 p1_b, p2_b, _, iters, z0 = eval_fn(
-                    state, self.pose_params, batch, self._next_key(),
+                    state, self.pose_params, dev_batch, self._next_key(),
                     z0, jnp.asarray(z0_w, jnp.float32),
                 )
                 z0_w = imp.warm_start_momentum
             else:
-                p1_b, p2_b, _, iters = eval_fn(state, self.pose_params, batch, self._next_key())
+                p1_b, p2_b, _, iters = eval_fn(state, self.pose_params, dev_batch, self._next_key())
             p1_b, p2_b = np.asarray(p1_b), np.asarray(p2_b)
             self.inference_times.append(time.time() - t0)
-            self.fp_iterations.append(int(iters))
+            self.fp_iterations.append(float(np.mean(np.asarray(iters))))
 
             valid = np.asarray(batch["valid"])
             ids = np.asarray(batch["action_ids"])[valid]
