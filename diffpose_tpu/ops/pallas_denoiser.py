@@ -292,7 +292,7 @@ def make_pallas_denoiser(
     num_layers: int = 5,
     num_heads: int = 4,
     hid_dim: int = 96,
-    block_b: int = 128,
+    block_b: int = 128,  # VMEM ceiling: 256 OOMs scoped vmem (docs/PERF.md)
     interpret: bool = False,
     precision=None,
 ):
