@@ -76,6 +76,14 @@ def main(argv=None) -> int:
 
     from diffpose_tpu.train.implicit_runner import ImplicitRunner
 
+    if args.use_implicit:
+        # These knobs live on the GCNDiff eval path; the fixed-point eval
+        # has no DDIM sweep or Pallas kernel to select.
+        if args.eval_sweep > 1:
+            logging.warning("--eval_sweep has no effect with --use_implicit")
+        if args.denoiser_impl != "module":
+            logging.warning("--denoiser_impl has no effect with --use_implicit")
+
     try:
         runner = ImplicitRunner(
             config,
@@ -88,6 +96,9 @@ def main(argv=None) -> int:
             use_ema_eval=args.use_ema_eval,
             downsample=args.downsample,
             action_filter=resolve_action_filter(args),
+            eval_sweep=args.eval_sweep,
+            train_sweep=args.train_sweep,
+            denoiser_impl=args.denoiser_impl,
         )
         runner.create_diffusion_model(args.model_diff_path)
         runner.create_pose_model(args.model_pose_path)

@@ -59,6 +59,13 @@ def main(argv=None) -> int:
 
     from diffpose_tpu.train.video_runner import VideoRunner
 
+    # Sweep/Pallas knobs are frame-runner features; say so instead of
+    # silently accepting them from the shared flag set.
+    for flag, default in (("eval_sweep", 1), ("train_sweep", 1),
+                          ("denoiser_impl", "module")):
+        if getattr(args, flag) != default:
+            logging.warning("--%s is not supported by the video runner; ignored", flag)
+
     try:
         runner = VideoRunner(
             config,

@@ -33,6 +33,10 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     transfer before the current step runs overlaps H2D with compute
     (measured: the batch transfer costs as much as the whole
     backward pass through this environment's tunnel; docs/PERF.md).
+
+    ``sharding`` may be a single Sharding for every key, or a callable
+    ``key -> Sharding`` for batches whose arrays shard differently (e.g.
+    video windows: poses over (data, context), ids over (data,)).
     """
     import collections
 
@@ -41,10 +45,11 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     queue = collections.deque()
 
     def put(batch):
-        return {
-            k: jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
-            for k, v in batch.items()
-        }
+        out = {}
+        for k, v in batch.items():
+            s = sharding(k) if callable(sharding) else sharding
+            out[k] = jax.device_put(v, s) if s is not None else jax.device_put(v)
+        return out
 
     for batch in iterator:
         queue.append(put(batch))

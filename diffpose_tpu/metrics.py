@@ -228,3 +228,45 @@ def summarize_action_errors(
             )
         )
     return mean_all["p1"].avg, mean_all["p2"].avg
+
+
+class ActionErrorAccumulator:
+    """Shared eval-loop accumulation: valid-masking, per-action error sums
+    and running P1/P2 meters (mm) — the loop every runner repeats around
+    :func:`accumulate_action_errors` (frame, implicit and video eval all
+    fold batches the same way; the video family adds a frame axis).
+    """
+
+    def __init__(self, actions: Sequence[str], *, num_joints: int = 17,
+                 reference_compat: bool = True):
+        self.actions = list(actions)
+        self.error_sum = define_error_list(self.actions)
+        self.p1_meter = AverageMeter()
+        self.p2_meter = AverageMeter()
+        self.num_joints = num_joints
+        self.reference_compat = reference_compat
+        self.frames = 0
+
+    def add(self, batch: dict, p1_b, p2_b, *, frames_per_item: int = 1):
+        """Fold one batch's per-sample (or per-sample-per-frame, when
+        ``frames_per_item > 1``) errors; padded rows are dropped via the
+        batch's ``valid`` mask, every frame inherits its window's action."""
+        valid = np.asarray(batch["valid"])
+        ids = np.asarray(batch["action_ids"])[valid]
+        p1_v = np.asarray(p1_b)[valid].reshape(-1)
+        p2_v = np.asarray(p2_b)[valid].reshape(-1)
+        if frames_per_item > 1:
+            ids = np.repeat(ids, frames_per_item)
+        names = [self.actions[i] for i in ids]
+        self.frames += len(p1_v)
+        if names:
+            accumulate_action_errors(
+                self.error_sum, p1_v, p2_v, names,
+                num_joints=self.num_joints,
+                reference_compat=self.reference_compat,
+            )
+            self.p1_meter.update(float(p1_v.mean()) * 1000.0, len(names))
+            self.p2_meter.update(float(p2_v.mean()) * 1000.0, len(names))
+
+    def summarize(self, print_table: bool = False) -> Tuple[float, float]:
+        return summarize_action_errors(self.error_sum, print_table=print_table)

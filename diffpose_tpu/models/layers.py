@@ -358,10 +358,13 @@ def chunked_attention(
     it exists for very long temporal windows in the video family.
 
     ``q, k, v``: [B, H, S, D]; ``mask`` broadcastable to [B, H, S, S].
-    Implemented as a ``lax.map`` over query chunks (static shapes; S must
-    be divisible by ``chunk_size`` or smaller than it).
+    Implemented as a ``lax.map`` over query chunks (static shapes).  A query
+    length that is not a multiple of ``chunk_size`` is zero-padded up to one
+    (exact: every query row attends independently, and the padded rows are
+    sliced off before returning).
     """
     b, h, s, d = q.shape
+    sk = k.shape[2]
     scale = 1.0 / math.sqrt(d)
     if s <= chunk_size:
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
@@ -369,20 +372,32 @@ def chunked_attention(
             scores = jnp.where(mask == 0, jnp.asarray(-1e9, scores.dtype), scores)
         return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, -1), v)
 
-    assert s % chunk_size == 0, (s, chunk_size)
-    qc = q.reshape(b, h, s // chunk_size, chunk_size, d).transpose(2, 0, 1, 3, 4)
+    pad = (-s) % chunk_size
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    s_pad = s + pad
+    qc = q.reshape(b, h, s_pad // chunk_size, chunk_size, d).transpose(2, 0, 1, 3, 4)
+    if mask is not None:
+        # Pad query rows with 1s (unmasked): their outputs are discarded, but
+        # an all-masked row would produce NaNs that could poison XLA fusions.
+        mask_full = jnp.broadcast_to(mask, (b, h, s, sk))
+        if pad:
+            mask_full = jnp.pad(mask_full, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                                constant_values=1)
 
     def one(args):
         q_chunk, idx = args
         scores = jnp.einsum("bhnd,bhmd->bhnm", q_chunk, k) * scale
         if mask is not None:
-            m = jnp.broadcast_to(mask, (b, h, s, s))
-            m = jax.lax.dynamic_slice_in_dim(m, idx * chunk_size, chunk_size, axis=2)
+            m = jax.lax.dynamic_slice_in_dim(
+                mask_full, idx * chunk_size, chunk_size, axis=2
+            )
             scores = jnp.where(m == 0, jnp.asarray(-1e9, scores.dtype), scores)
         return jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(scores, -1), v)
 
-    out = jax.lax.map(one, (qc, jnp.arange(s // chunk_size)))
-    return out.transpose(1, 2, 0, 3, 4).reshape(b, h, s, d)
+    out = jax.lax.map(one, (qc, jnp.arange(s_pad // chunk_size)))
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, s_pad, d)
+    return out[:, :, :s] if pad else out
 
 
 # ---------------------------------------------------------------------------

@@ -27,39 +27,54 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _make(force: bool) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"] + (["-B"] if force else []), cwd=_NATIVE_DIR,
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.gather_rows.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.gather_rows_multi.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.gmm_select.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.native_num_threads.restype = ctypes.c_int
+    return lib
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-                capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
+    if not os.path.exists(_LIB_PATH) and not _make(force=False):
+        return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.gather_rows.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.gather_rows_multi.argtypes = [
-            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_void_p),
-            ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.gmm_select.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ]
-        lib.native_num_threads.restype = ctypes.c_int
-        _lib = lib
-    except OSError:
+        _lib = _bind(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError):
+        # A stale build artifact may predate a newly added symbol
+        # (AttributeError from ctypes): rebuild once and retry.
         _lib = None
+        if _make(force=True):
+            try:
+                _lib = _bind(ctypes.CDLL(_LIB_PATH))
+            except (OSError, AttributeError):
+                _lib = None
     return _lib
 
 

@@ -331,8 +331,15 @@ def make_pallas_denoiser(
     def fn(x: Array, t: Array) -> Array:
         bsz = x.shape[0]
         bb = min(block_b, bsz)
-        while bsz % bb:  # largest divisor of bsz ≤ block_b (grid must tile exactly)
-            bb -= 1
+        # Grid must tile exactly: pad the batch up to a block multiple and
+        # slice the result (batch rows are independent — GCNDiff has no
+        # cross-sample coupling), keeping the MXU-shaped [.., 128, ..] tile
+        # instead of degrading to tiny divisor blocks for odd sizes.
+        pad = (-bsz) % bb
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+            t = jnp.pad(t, (0, pad))
+        bp = bsz + pad
 
         # Timestep path in XLA (tiny): MLP + all per-layer projections.
         temb = timestep_embedding(t, hid_dim)
@@ -344,8 +351,8 @@ def make_pallas_denoiser(
 
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_pts, bsz, c_out), f32),
-            grid=(bsz // bb,),
+            out_shape=jax.ShapeDtypeStruct((n_pts, bp, c_out), f32),
+            grid=(bp // bb,),
             in_specs=[
                 pl.BlockSpec((n_pts, bb, c_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((num_layers, bb, hid_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -355,7 +362,8 @@ def make_pallas_denoiser(
             out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xj, tp, *w_args, seg_j, segt_j)
-        return jnp.transpose(out, (1, 0, 2))
+        out = jnp.transpose(out, (1, 0, 2))
+        return out[:bsz] if pad else out
 
     return fn
 
@@ -396,13 +404,16 @@ def make_pallas_lifter(
     def fn(x: Array) -> Array:
         bsz = x.shape[0]
         bb = min(block_b, bsz)
-        while bsz % bb:  # largest divisor of bsz ≤ block_b (grid must tile exactly)
-            bb -= 1
+        # pad-to-block (see make_pallas_denoiser): exact, keeps MXU tiles
+        pad = (-bsz) % bb
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        bp = bsz + pad
         xj = jnp.transpose(x.astype(f32), (1, 0, 2))  # [N, B, C]
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_pts, bsz, c_out), f32),
-            grid=(bsz // bb,),
+            out_shape=jax.ShapeDtypeStruct((n_pts, bp, c_out), f32),
+            grid=(bp // bb,),
             in_specs=[
                 pl.BlockSpec((n_pts, bb, c_in), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
                 *w_specs,
@@ -411,6 +422,7 @@ def make_pallas_lifter(
             out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
         )(xj, *w_args, seg_j, segt_j)
-        return jnp.transpose(out, (1, 0, 2))
+        out = jnp.transpose(out, (1, 0, 2))
+        return out[:bsz] if pad else out
 
     return fn

@@ -47,7 +47,9 @@ def make_pallas_eval(
 ):
     """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` (root-relative mean
     over ``test_times`` hypotheses), the fused-kernel equivalent of the
-    runner's eval step.  ``B·test_times`` must be divisible by ``block_b``.
+    runner's eval step.  Any ``B·test_times`` works: the kernels pad the
+    batch up to a ``block_b`` multiple and slice the result (exact — rows
+    are independent), so odd sizes keep full-width MXU tiles.
     """
     kw = dict(
         num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,

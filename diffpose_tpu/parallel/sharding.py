@@ -337,7 +337,8 @@ def make_sharded_video_eval_step(
 
     local_step = make_video_eval_step(
         model, betas, seq, test_times=test_times, eta=eta, mask=mask,
-        use_ema=use_ema, cp_axis=cp_axis, frames_total=frames_total,
+        use_ema=use_ema, cp_axis=cp_axis, data_axis=data_axis,
+        frames_total=frames_total,
     )
     keys = ("poses_2d_gmm", "poses_3d")
     batch_spec = P(data_axis, cp_axis)

@@ -18,12 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffpose_tpu.config import Config, ImplicitConfig
-from diffpose_tpu.metrics import (
-    AverageMeter,
-    accumulate_action_errors,
-    define_error_list,
-    summarize_action_errors,
-)
+from diffpose_tpu.metrics import ActionErrorAccumulator
 from diffpose_tpu.models.igcn import IGCN
 from diffpose_tpu.train.implicit_steps import (
     make_implicit_eval_step,
@@ -95,6 +90,11 @@ class ImplicitRunner(DiffposeRunner):
                     jnp.asarray, converted["batch_stats"]
                 )
         return self.model_diff
+
+    def _supports_train_sweep(self) -> bool:
+        # The device-resident sweep step is GCNDiff-shaped (no batch_stats
+        # collection, no warm-start carry); only the degraded mode uses it.
+        return not self.use_implicit
 
     def init_state(self, optimizer) -> TrainState:
         if not self.use_implicit:
@@ -215,10 +215,12 @@ class ImplicitRunner(DiffposeRunner):
             )
 
         loader = self._make_loader(self.test_data, shuffle=False)
-        error_sum = define_error_list(list(self.test_data.actions))
-        p1_meter, p2_meter = AverageMeter(), AverageMeter()
+        acc = ActionErrorAccumulator(
+            self.test_data.actions,
+            num_joints=self.config.model.n_pts,
+            reference_compat=self.reference_compat,
+        )
         self.inference_times, self.fp_iterations = [], []
-        self.eval_frames = 0
 
         # Warm-start carry across eval batches (reference last_fixed_point;
         # reset at eval entry, implicit_pose.py:466-467).
@@ -244,23 +246,12 @@ class ImplicitRunner(DiffposeRunner):
             p1_b, p2_b = np.asarray(p1_b), np.asarray(p2_b)
             self.inference_times.append(time.time() - t0)
             self.fp_iterations.append(float(np.mean(np.asarray(iters))))
+            acc.add(batch, p1_b, p2_b)
 
-            valid = np.asarray(batch["valid"])
-            ids = np.asarray(batch["action_ids"])[valid]
-            names = [self.test_data.actions[i] for i in ids]
-            self.eval_frames += int(valid.sum())
-            if names:
-                accumulate_action_errors(
-                    error_sum, p1_b[valid], p2_b[valid], names,
-                    num_joints=self.config.model.n_pts,
-                    reference_compat=self.reference_compat,
-                )
-                p1_meter.update(float(p1_b[valid].mean()) * 1000.0, len(names))
-                p2_meter.update(float(p2_b[valid].mean()) * 1000.0, len(names))
-
+        self.eval_frames = acc.frames
         logger.info(
             "MPJPE: %.4f | P-MPJPE: %.4f | mean fp iterations: %.1f",
-            p1_meter.avg, p2_meter.avg,
+            acc.p1_meter.avg, acc.p2_meter.avg,
             float(np.mean(self.fp_iterations)) if self.fp_iterations else 0.0,
         )
-        return summarize_action_errors(error_sum, print_table=not is_train)
+        return acc.summarize(print_table=not is_train)

@@ -90,10 +90,16 @@ def make_implicit_train_step(
         (loss, (aux, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        fp_iterations = aux["iterations"].astype(jnp.float32)
+        fp_residual = aux["residual"]
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
             new_model_state = jax.lax.pmean(new_model_state, axis_name)
+            # each shard's solve converges on its own batch slice — reduce
+            # the telemetry so the replicated output spec is truthful
+            fp_iterations = jax.lax.pmean(fp_iterations, axis_name)
+            fp_residual = jax.lax.pmax(fp_residual, axis_name)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -111,8 +117,8 @@ def make_implicit_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
-            "fp_iterations": aux["iterations"],
-            "fp_residual": aux["residual"],
+            "fp_iterations": fp_iterations,
+            "fp_residual": fp_residual,
         }
         if tol is not None:
             metrics["fp_tolerance"] = tol

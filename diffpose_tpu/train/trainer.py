@@ -25,12 +25,7 @@ from diffpose_tpu.data.loader import BatchLoader
 from diffpose_tpu.data.pipeline import FlatDataset
 from diffpose_tpu.diffusion import get_beta_schedule, make_skip_sequence
 from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
-from diffpose_tpu.metrics import (
-    AverageMeter,
-    accumulate_action_errors,
-    define_error_list,
-    summarize_action_errors,
-)
+from diffpose_tpu.metrics import ActionErrorAccumulator, AverageMeter
 from diffpose_tpu.models import GCNDiff, GCNPose, ema_register
 from diffpose_tpu.models.convert import load_torch_states, torch_state_to_params
 from diffpose_tpu.parallel.sharding import (
@@ -250,6 +245,15 @@ class DiffposeRunner:
             )
         return optimizer, step_fn
 
+    def _supports_train_sweep(self) -> bool:
+        """Whether ``--train_sweep`` can replace this runner's train step.
+
+        The sweep step (make_train_sweep_step) assembles GCNDiff batches on
+        device from the raw dataset; subclasses whose step needs extra
+        threading (IGCN batch_stats, warm-start carry) override this.
+        """
+        return True
+
     def init_state(self, optimizer) -> TrainState:
         params = self._params_diff_init
         ema = ema_register(params) if self.config.model.ema else None
@@ -288,7 +292,13 @@ class DiffposeRunner:
         # Composes with the mesh: data replicated per chip, the index
         # array's batch axis sharded over `data`, grads pmean'd over ICI
         # (make_sharded_train_sweep_step).
-        use_sweep = self.train_sweep > 1
+        use_sweep = self.train_sweep > 1 and self._supports_train_sweep()
+        if self.train_sweep > 1 and not use_sweep:
+            logger.warning(
+                "--train_sweep %d requested but this runner's train step "
+                "cannot run as a device-resident sweep; using the per-batch "
+                "path", self.train_sweep,
+            )
         if use_sweep:
             ema_mu = self.config.model.ema_rate if self.config.model.ema else None
             if self.mesh is not None:
@@ -459,26 +469,13 @@ class DiffposeRunner:
             )
 
         loader = self._make_loader(self.test_data, shuffle=False)
-        actions = list(self.test_data.actions)
-        error_sum = define_error_list(actions)
-        p1_meter, p2_meter = AverageMeter(), AverageMeter()
+        acc = ActionErrorAccumulator(
+            self.test_data.actions,
+            num_joints=self.config.model.n_pts,
+            reference_compat=self.reference_compat,
+        )
         self.inference_times = []
-        self.eval_frames = 0
-
-        def accumulate(batch, p1_b, p2_b):
-            valid = np.asarray(batch["valid"])
-            p1_v, p2_v = p1_b[valid], p2_b[valid]
-            ids = np.asarray(batch["action_ids"])[valid]
-            names = [self.test_data.actions[i] for i in ids]
-            self.eval_frames += int(valid.sum())
-            if len(names):
-                accumulate_action_errors(
-                    error_sum, p1_v, p2_v, names,
-                    num_joints=self.config.model.n_pts,
-                    reference_compat=self.reference_compat,
-                )
-                p1_meter.update(float(p1_v.mean()) * 1000.0, len(names))
-                p2_meter.update(float(p2_v.mean()) * 1000.0, len(names))
+        accumulate = acc.add
 
         sweep = self.eval_sweep
         if sweep > 1:
@@ -539,10 +536,10 @@ class DiffposeRunner:
                 self.inference_times.append(time.time() - t0)
                 accumulate(batch, p1_b, p2_b)
 
-        logger.info("MPJPE: %.4f | P-MPJPE: %.4f", p1_meter.avg, p2_meter.avg)
-        self.last_error_sum = error_sum  # per-action accumulators (parity checks)
-        p1, p2 = summarize_action_errors(error_sum, print_table=not is_train)
-        return p1, p2
+        self.eval_frames = acc.frames
+        logger.info("MPJPE: %.4f | P-MPJPE: %.4f", acc.p1_meter.avg, acc.p2_meter.avg)
+        self.last_error_sum = acc.error_sum  # per-action accumulators (parity checks)
+        return acc.summarize(print_table=not is_train)
 
     # ------------------------------------------------------------------
 

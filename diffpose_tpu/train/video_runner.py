@@ -28,12 +28,7 @@ from diffpose_tpu.data.loader import BatchLoader
 from diffpose_tpu.data.video import VideoDataset
 from diffpose_tpu.diffusion import get_beta_schedule, make_skip_sequence
 from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
-from diffpose_tpu.metrics import (
-    AverageMeter,
-    accumulate_action_errors,
-    define_error_list,
-    summarize_action_errors,
-)
+from diffpose_tpu.metrics import ActionErrorAccumulator, AverageMeter
 from diffpose_tpu.models import ema_register
 from diffpose_tpu.models.video import SpatioTemporalDiff
 from diffpose_tpu.train.checkpoint import Checkpointer
@@ -229,31 +224,22 @@ class VideoRunner:
 
         sharding = None
         if self.mesh is not None:
-            sharding = NamedSharding(self.mesh, P(self.data_axis))
+            # Windows shard over data AND frames over context; per-window
+            # scalars only over data.
+            pose_s = NamedSharding(self.mesh, P(self.data_axis, self.cp_axis))
+            flat_s = NamedSharding(self.mesh, P(self.data_axis))
+            sharding = lambda k: pose_s if k in ("poses_3d", "poses_2d_gmm") else flat_s
 
         history = {"loss": [], "p1": [], "p2": []}
         best_p1, best_epoch = float("inf"), -1
         start_epoch = int(self.state.epoch)
         for epoch in range(start_epoch, self.config.training.n_epochs):
             t0 = time.time()
-            batches = loader.epoch(epoch)
-            if self.mesh is None:
-                batches = prefetch_to_device(batches, size=2)
+            # async H2D staging on both paths — per-step synchronous
+            # device_put is exactly the host stall docs/PERF.md measured
+            batches = prefetch_to_device(loader.epoch(epoch), size=2, sharding=sharding)
             step_losses = []
             for batch in batches:
-                if self.mesh is not None:
-                    batch = {
-                        k: jax.device_put(
-                            v,
-                            NamedSharding(
-                                self.mesh,
-                                P(self.data_axis, self.cp_axis)
-                                if k in ("poses_3d", "poses_2d_gmm")
-                                else P(self.data_axis),
-                            ),
-                        )
-                        for k, v in batch.items()
-                    }
                 self.state, metrics = step_fn(self.state, batch, self._next_key())
                 step_losses.append(metrics["loss"])  # async; fetched at epoch end
             self.state = self.state.replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
@@ -318,37 +304,24 @@ class VideoRunner:
                 return jitted(st, needed, key)
 
         loader = self._make_loader(self.test_data, shuffle=False)
-        actions = list(self.test_data.actions)
-        error_sum = define_error_list(actions)
-        p1_meter, p2_meter = AverageMeter(), AverageMeter()
+        acc = ActionErrorAccumulator(
+            self.test_data.actions,
+            num_joints=self.config.model.n_pts,
+            reference_compat=self.reference_compat,
+        )
         self.inference_times = []
-        self.eval_frames = 0
 
         for batch in loader.epoch(0):
             t0 = time.time()
             p1_b, p2_b, _ = eval_fn(state, batch, self._next_key())
             p1_b, p2_b = np.asarray(p1_b), np.asarray(p2_b)  # [B, F]
             self.inference_times.append(time.time() - t0)
+            # per-frame errors flatten; each frame inherits its window action
+            acc.add(batch, p1_b, p2_b, frames_per_item=p1_b.shape[1])
 
-            valid = np.asarray(batch["valid"])
-            ids = np.asarray(batch["action_ids"])[valid]
-            f = p1_b.shape[1]
-            # flatten per-frame errors; each frame inherits its window action
-            p1_v = p1_b[valid].reshape(-1)
-            p2_v = p2_b[valid].reshape(-1)
-            names = [self.test_data.actions[i] for i in np.repeat(ids, f)]
-            self.eval_frames += int(valid.sum()) * f
-            if names:
-                accumulate_action_errors(
-                    error_sum, p1_v, p2_v, names,
-                    num_joints=self.config.model.n_pts,
-                    reference_compat=self.reference_compat,
-                )
-                p1_meter.update(float(p1_v.mean()) * 1000.0, len(names))
-                p2_meter.update(float(p2_v.mean()) * 1000.0, len(names))
-
-        logger.info("MPJPE: %.4f | P-MPJPE: %.4f", p1_meter.avg, p2_meter.avg)
-        return summarize_action_errors(error_sum, print_table=not is_train)
+        self.eval_frames = acc.frames
+        logger.info("MPJPE: %.4f | P-MPJPE: %.4f", acc.p1_meter.avg, acc.p2_meter.avg)
+        return acc.summarize(print_table=not is_train)
 
     # ------------------------------------------------------------------
 

@@ -45,6 +45,7 @@ def make_video_eval_step(
     use_ema: bool = False,
     gmm_base_seed: int = 0,
     cp_axis: Optional[str] = None,
+    data_axis: Optional[str] = None,
     frames_total: Optional[int] = None,
 ):
     """Window eval: per-frame GMM 2D + zero-init xyz → DDIM over the window
@@ -55,7 +56,12 @@ def make_video_eval_step(
     prior); per-sample keyed GMM draws keep results layout-invariant:
     under ``cp_axis`` each frame shard derives the SAME per-(window, frame)
     seed ids the unsharded step uses (global frame index offset), so
-    sharded and unsharded eval agree exactly.
+    sharded and unsharded eval agree exactly at ``eta=0`` (deterministic
+    DDIM, key unused).  With ``eta>0`` the DDIM noise key is folded with
+    the shard indices so every shard draws INDEPENDENT noise — without the
+    fold the replicated key would repeat the same noise block on every
+    frame/window shard; the stochastic path is therefore decorrelated but
+    not bitwise layout-invariant.
     """
     from diffpose_tpu.data.gmm import sample_gmm_batch_per_sample
     from diffpose_tpu.diffusion.ddim import ddim_sample
@@ -64,6 +70,10 @@ def make_video_eval_step(
     seq = tuple(int(s) for s in seq)
 
     def eval_step(state: TrainState, batch: dict, key: Array):
+        if eta != 0.0:
+            for ax in (data_axis, cp_axis):
+                if ax is not None:
+                    key = jax.random.fold_in(key, jax.lax.axis_index(ax))
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         p3 = batch["poses_3d"]       # [B, F_local, J, 3]
         gmm = batch["poses_2d_gmm"]  # [B, F_local, J, K, 5]

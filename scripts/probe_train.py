@@ -44,9 +44,15 @@ K_GMM = 5
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 30
     trace = "--trace" in sys.argv
+    prec = None
+    for a in sys.argv:
+        if a.startswith("--prec="):
+            prec = a.split("=", 1)[1]
     if "--f32" in sys.argv:
-        jax.config.update("jax_default_matmul_precision", "float32")
-        print("matmul precision: float32 (parity-grade)", flush=True)
+        prec = "float32"
+    if prec:
+        jax.config.update("jax_default_matmul_precision", prec)
+        print(f"matmul precision: {prec}", flush=True)
     else:
         print("matmul precision: default (single-pass bf16)", flush=True)
 
