@@ -73,6 +73,14 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--hypothesis_parallel", default=0, type=int, metavar="H",
                         help="shard test_times hypotheses over a second mesh axis "
                         "(2-D data×hypothesis mesh; psum'd hypothesis mean)")
+    parser.add_argument("--matmul_precision", default="float32",
+                        choices=("float32", "BF16_BF16_F32_X3", "default"),
+                        help="matmul passes for train AND module-eval: float32 "
+                        "(strict parity), BF16_BF16_F32_X3 (3-pass bf16 — the "
+                        "same decomposition the Pallas bf16x3 kernels use; "
+                        "measured 50.3k vs 44.8k frames/s training, ΔP1 "
+                        "~0.003 mm eval), or default (single-pass bf16; NOT "
+                        "parity-grade, >1 mm P1)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "

@@ -55,6 +55,8 @@ def main(argv=None) -> int:
             eval_sweep=args.eval_sweep,
             train_sweep=args.train_sweep,
             denoiser_impl=args.denoiser_impl,
+            eval_matmul_precision=args.matmul_precision,
+            train_matmul_precision=args.matmul_precision,
         )
         runner.create_diffusion_model(args.model_diff_path)
         runner.create_pose_model(args.model_pose_path)

@@ -77,6 +77,8 @@ def main(argv=None) -> int:
             cp_axis="context" if args.context_parallel > 0 else None,
             log_dir=args.log_path,
             use_ema_eval=args.use_ema_eval,
+            eval_matmul_precision=args.matmul_precision,
+            train_matmul_precision=args.matmul_precision,
         )
         runner.create_video_model()
 
