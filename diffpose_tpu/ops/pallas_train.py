@@ -1,0 +1,784 @@
+"""Fused Pallas TRAIN step: the 5-layer GCNDiff stack fwd+bwd as kernels.
+
+The XLA training step spends ~21.5 of its 22.5 ms in fwd+bwd of the
+denoiser (docs/PERF.md), dominated — like the eval forward — by many tiny
+ops around modest GEMMs.  This module runs the whole 5-layer
+GraAttenLayer+ResChebGCDiff stack as TWO whole-network Pallas kernels:
+
+* **forward** (`grid=(tiles, layers)`, activations carried across layer
+  steps in VMEM scratch): computes the training forward INCLUDING dropout
+  and writes the per-layer residuals ("stashes") the backward needs;
+* **backward** (same grid, layer index reversed, upstream grad carried in
+  scratch): recomputes attention probabilities from the stashed LN output
+  and emits (a) the data-gradient chain and (b) per-layer pre-activation
+  gradients ("d-stashes") from which plain XLA computes every weight
+  gradient as one big, MXU-shaped GEMM per weight (XLA handles the
+  leading-dim contractions Mosaic does not support).
+
+Dropout masks are **explicit inputs** (uint8, drawn in XLA with exact
+flax ``nn.Dropout`` semantics — see ``ops/train_ref.py``): forward and
+backward trivially agree, and the whole thing is testable in interpret
+mode against ``jax.grad`` of the pure-JAX reference.
+
+The wrapper is a ``jax.custom_vjp`` at the prepped-weight-stack boundary:
+the tiny surrounding math (timestep MLP, input/output ChebConv, the
+weight prep incl. learned-adjacency Laplacian and q-scale folding) stays
+in XLA and is autodiffed.
+
+Reference semantics: training loop `runners/diffpose_frame.py:203-236`,
+model `models/gcndiff.py:55-113`; dropout sites per `ops/train_ref.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffpose_tpu.ops.pallas_cheb import _sparse_terms
+from diffpose_tpu.ops.pallas_denoiser import (
+    _cheb,
+    _dot,
+    _dot_exact_w,
+    _layer_norm,
+    _prep_weights,
+)
+from diffpose_tpu.ops.train_ref import (
+    RATE_ATTN_PROBS,
+    RATE_CHEB,
+    RATE_SUBLAYER,
+)
+
+Array = jax.Array
+
+# per-layer weight stacks consumed by the kernels, in ref order
+STACK_KEYS = (
+    "ln1s", "ln1b", "ln2s", "ln2b",
+    "wqkv", "bqkv", "wao", "bao",
+    "lap",
+    "wfc1", "bfc1", "wfc2", "bfc2",
+    "wg1", "bg1", "wg2", "bg2",
+)
+STASH_KEYS = ("ha", "hb", "hc", "y1", "att", "g1", "r1", "rc1", "rd1")
+DSTASH_KEYS = ("dqkv", "do1", "df1", "df2", "dc1", "dc2", "dy1", "dy2")
+
+IKP = 1.0 / (1.0 - RATE_ATTN_PROBS)
+IKS = 1.0 / (1.0 - RATE_SUBLAYER)
+IKC = 1.0 / (1.0 - RATE_CHEB)
+
+
+def _lap_mix_t(lap2d, z, n_pts, transpose=False):
+    """``y[n] = Σ_m lap[n,m]·z[m]`` (or lapᵀ) via scalar·vector scaled adds
+    (Mosaic: no rank-expanding reshapes of small vectors)."""
+    rows = []
+    for n in range(n_pts):
+        acc = None
+        for m in range(n_pts):
+            c = lap2d[m, n] if transpose else lap2d[n, m]
+            term = c * z[m]
+            acc = term if acc is None else acc + term
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group):
+    """Grouped all-pairs attention with prob-dropout.
+
+    ``q`` pre-scaled by 1/√dk (folded in prep); ``mp``: [Nk, Nq, tb, H]
+    f32 0/1 prob-dropout mask expanded over head dims.  Returns
+    ``att [Nq, tb, H]`` (pre out-projection, post dropout).
+    """
+    att_rows = []
+    for g0 in range(0, n_pts, group):
+        g = min(group, n_pts - g0)
+        p = k[:, None] * q[g0:g0 + g][None]              # [Nk, g, tb, H]
+        h_dim = q.shape[-1]
+        s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
+        s = s.reshape(n_pts, g, p.shape[2], seg_c.shape[1])
+        smax = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - smax)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)
+        w = _dot_exact_w(probs.reshape(-1, seg_c.shape[1]), segt_c, precision)
+        w = w.reshape(n_pts, g, p.shape[2], h_dim)
+        wd = w * (mp[:, g0:g0 + g] * IKP)
+        att_rows.append(jnp.sum(wd * v[:, None], axis=0))  # [g, tb, H]
+    return jnp.concatenate(att_rows, axis=0)
+
+
+def _stack_fwd_kernel(
+    # inputs
+    h0_ref, tp_ref, mp_ref, m1_ref, m2_ref, m3_ref, m4_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wao_ref, bao_ref,
+    lap_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wg1_ref, bg1_ref, wg2_ref, bg2_ref,
+    seg_ref, segt_ref,
+    # outputs
+    d5_ref, ha_ref, hb_ref, hc_ref, y1_ref, att_ref, g1_ref, r1_ref,
+    rc1_ref, rd1_ref,
+    # scratch
+    h_s,
+    *, terms, n_pts, num_layers, num_heads, h_dim, precision, group,
+):
+    j = pl.program_id(1)
+    tb = h0_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        h_s[...] = h0_ref[...]
+
+    h = h_s[...]
+    ha_ref[0] = h
+    seg_c = seg_ref[...]
+    segt_c = segt_ref[...]
+
+    # ---- attention sublayer ----
+    y1 = _layer_norm(h, ln1s_ref[0], ln1b_ref[0], h_dim)
+    y1_ref[0] = y1
+    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[0]
+    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
+    q = qkv[..., :h_dim]
+    k = qkv[..., h_dim:2 * h_dim]
+    v = qkv[..., 2 * h_dim:]
+    mp = mp_ref[0].astype(f32)
+    att = _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group)
+    att_ref[0] = att
+    o1 = (
+        _dot(att.reshape(n_pts * tb, h_dim), wao_ref[0], precision) + bao_ref[0]
+    ).reshape(n_pts, tb, h_dim)
+    h = h + o1 * (m1_ref[0].astype(f32) * IKS)
+    hb_ref[0] = h
+
+    # ---- GraphNet sublayer ----
+    y2 = _layer_norm(h, ln2s_ref[0], ln2b_ref[0], h_dim)
+    lap2d = lap_ref[0]
+    g1 = _lap_mix_t(lap2d, y2, n_pts)
+    g1_ref[0] = g1
+    r1 = jax.nn.relu(
+        _dot(g1.reshape(n_pts * tb, h_dim), wfc1_ref[0], precision) + bfc1_ref[0]
+    ).reshape(n_pts, tb, 2 * h_dim)
+    r1_ref[0] = r1
+    g2 = _lap_mix_t(lap2d, r1, n_pts)
+    f2 = (
+        _dot(g2.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[0], precision) + bfc2_ref[0]
+    ).reshape(n_pts, tb, h_dim)
+    h = h + f2 * (m2_ref[0].astype(f32) * IKS)
+    hc_ref[0] = h
+
+    # ---- residual Chebyshev block (dropout inside each conv) ----
+    rc1 = jax.nn.relu(_cheb(h, wg1_ref[0], bg1_ref[0], terms, n_pts, precision))
+    rc1_ref[0] = rc1
+    u = rc1 * (m3_ref[0].astype(f32) * IKC) + tp_ref[0]
+    rd1 = jax.nn.relu(_cheb(u, wg2_ref[0], bg2_ref[0], terms, n_pts, precision))
+    rd1_ref[0] = rd1
+    h = h + rd1 * (m4_ref[0].astype(f32) * IKC)
+
+    h_s[...] = h
+
+    @pl.when(j == num_layers - 1)
+    def _():
+        d5_ref[...] = h
+
+
+def _ln_bwd(g, x, scale, h_dim):
+    """VJP of the torch-style LayerNorm wrt its input (and the per-row
+    pieces the param grads need are recovered in XLA from the dy stash)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - mean
+    var = jnp.sum(c * c, axis=-1, keepdims=True) / (h_dim - 1)
+    sd = jnp.sqrt(var)
+    r = 1.0 / (sd + 1e-6)
+    gs = g * scale
+    s1 = jnp.sum(gs * c, axis=-1, keepdims=True)
+    safe = jnp.maximum(sd, 1e-20)
+    dc = gs * r - c * (s1 * r * r / ((h_dim - 1) * safe))
+    return dc - jnp.mean(dc, axis=-1, keepdims=True)
+
+
+def _attention_bwd(q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group):
+    """Recompute probs, backprop through dropout·softmax·scores.
+
+    Returns ``dqkv`` pieces: (dq [Nq,tb,H], dk [Nk,tb,H], dv [Nk,tb,H]).
+    """
+    dq_rows = []
+    dk_acc = None
+    dv_acc = None
+    heads = seg_c.shape[1]
+    h_dim = q.shape[-1]
+    for g0 in range(0, n_pts, group):
+        g = min(group, n_pts - g0)
+        qg = q[g0:g0 + g]
+        p = k[:, None] * qg[None]                          # [Nk, g, tb, H]
+        tb = p.shape[2]
+        s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
+        s = s.reshape(n_pts, g, tb, heads)
+        smax = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - smax)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)      # [Nk, g, tb, h]
+
+        mpg = mp[:, g0:g0 + g] * IKP                       # [Nk, g, tb, H]
+        dg = datt[g0:g0 + g]                               # [g, tb, H]
+        # dv[m] += wd[m]·datt ;  dwd[m] = v[m]·datt
+        w = _dot_exact_w(probs.reshape(-1, heads), segt_c, precision)
+        w = w.reshape(n_pts, g, tb, h_dim)
+        dv_g = jnp.sum((w * mpg) * dg[None], axis=1)       # [Nk, tb, H]
+        dv_acc = dv_g if dv_acc is None else dv_acc + dv_g
+        dw = (v[:, None] * dg[None]) * mpg                 # [Nk, g, tb, H]
+        dprobs = _dot_exact_w(dw.reshape(-1, h_dim), seg_c, precision)
+        dprobs = dprobs.reshape(n_pts, g, tb, heads)
+        # softmax bwd over the leading key axis
+        ds = probs * (dprobs - jnp.sum(probs * dprobs, axis=0, keepdims=True))
+        epair = _dot_exact_w(ds.reshape(-1, heads), segt_c, precision)
+        epair = epair.reshape(n_pts, g, tb, h_dim)         # d(q·k) pairs
+        dq_rows.append(jnp.sum(epair * k[:, None], axis=0))   # [g, tb, H]
+        dk_g = jnp.sum(epair * qg[None], axis=1)           # [Nk, tb, H]
+        dk_acc = dk_g if dk_acc is None else dk_acc + dk_g
+    return jnp.concatenate(dq_rows, axis=0), dk_acc, dv_acc
+
+
+def _cheb_bwd_data(dy, w3t, terms_t, n_pts, precision):
+    """dx of ``y = Σ_k T_k·(x@W_k)``: T_k are symmetric ⇒ same sparse
+    terms; ``w3t`` is the per-order transposed weight stack."""
+    k_orders = w3t.shape[0]
+    tb = dy.shape[1]
+    acc = None
+    # order-major: u_k[m] = Σ_j T_k[j,m]·dy[j] (terms_t), dx += u_k @ W_kᵀ
+    for kk in range(k_orders):
+        rows = []
+        for m in range(n_pts):
+            acc_m = None
+            for (j, coeff) in terms_t[kk][m]:
+                t = coeff * dy[j]
+                acc_m = t if acc_m is None else acc_m + t
+            rows.append(acc_m if acc_m is not None else jnp.zeros_like(dy[0]))
+        u = jnp.stack(rows)
+        d = _dot(u.reshape(n_pts * tb, -1), w3t[kk], precision)
+        d = d.reshape(n_pts, tb, -1)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _terms_transposed(basis: np.ndarray, tol: float = 1e-12):
+    """Per order k, per output joint m: list of (j, coeff) with
+    ``coeff = T_k[j, m]`` — the transpose mix of `_sparse_terms`."""
+    k1, n, _ = basis.shape
+    out = []
+    for k in range(k1):
+        per_m = []
+        for m in range(n):
+            entries = []
+            for j in range(n):
+                c = float(basis[k, j, m])
+                if abs(c) > tol:
+                    entries.append((j, c))
+            per_m.append(entries)
+        out.append(per_m)
+    return out
+
+
+def _stack_bwd_kernel(
+    # inputs
+    dd5_ref, mp_ref, m1_ref, m2_ref, m3_ref, m4_ref,
+    ha_ref, hb_ref, y1_ref, r1_ref, rc1_ref, rd1_ref,
+    ln1s_ref, ln2s_ref,
+    wqkv_ref, wqkvt_ref, waot_ref, lap_ref,
+    wfc1t_ref, wfc2t_ref, wg1t_ref, wg2t_ref,
+    bqkv_ref,
+    seg_ref, segt_ref,
+    # outputs
+    da0_ref, dtp_ref,
+    dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref, dy1_ref, dy2_ref,
+    # scratch
+    dh_s,
+    *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision, group,
+):
+    j = pl.program_id(1)   # 0 .. L-1, processing layer (L-1-j)
+    tb = dd5_ref.shape[1]
+    f32 = jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        dh_s[...] = dd5_ref[...]
+
+    dh = dh_s[...]
+    seg_c = seg_ref[...]
+    segt_c = segt_ref[...]
+
+    # ---- cheb block bwd:  D = C + rd1·M4·ikc ----
+    rd1 = rd1_ref[0]
+    dc2 = (dh * (m4_ref[0].astype(f32) * IKC)) * (rd1 > 0)
+    dc2_ref[0] = dc2
+    du = _cheb_bwd_data(dc2, wg2t_ref[...][0], terms_t, n_pts, precision)
+    # u = rc1·M3·ikc + tp  →  dtp = Σ_joints du
+    dtp_ref[0] = jnp.sum(du, axis=0)
+    rc1 = rc1_ref[0]
+    dc1 = (du * (m3_ref[0].astype(f32) * IKC)) * (rc1 > 0)
+    dc1_ref[0] = dc1
+    dC = dh + _cheb_bwd_data(dc1, wg1t_ref[...][0], terms_t, n_pts, precision)
+
+    # ---- GraphNet bwd:  C = B + f2·M2·iks ----
+    df2 = dC * (m2_ref[0].astype(f32) * IKS)
+    df2_ref[0] = df2
+    dg2 = _dot(df2.reshape(n_pts * tb, h_dim), wfc2t_ref[0], precision)
+    dg2 = dg2.reshape(n_pts, tb, 2 * h_dim)
+    lap2d = lap_ref[0]
+    r1 = r1_ref[0]
+    df1 = _lap_mix_t(lap2d, dg2, n_pts, transpose=True) * (r1 > 0)
+    df1_ref[0] = df1
+    dg1 = _dot(df1.reshape(n_pts * tb, 2 * h_dim), wfc1t_ref[0], precision)
+    dg1 = dg1.reshape(n_pts, tb, h_dim)
+    dy2 = _lap_mix_t(lap2d, dg1, n_pts, transpose=True)
+    dy2_ref[0] = dy2
+    hb = hb_ref[0]
+    dB = dC + _ln_bwd(dy2, hb, ln2s_ref[0], h_dim)
+
+    # ---- attention bwd:  B = A + o1·M1·iks ----
+    do1 = dB * (m1_ref[0].astype(f32) * IKS)
+    do1_ref[0] = do1
+    datt = _dot(do1.reshape(n_pts * tb, h_dim), waot_ref[0], precision)
+    datt = datt.reshape(n_pts, tb, h_dim)
+    y1 = y1_ref[0]
+    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[0]
+    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
+    q = qkv[..., :h_dim]
+    k = qkv[..., h_dim:2 * h_dim]
+    v = qkv[..., 2 * h_dim:]
+    mp = mp_ref[0].astype(f32)
+    dq, dk, dv = _attention_bwd(
+        q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)          # [N, tb, 3H]
+    dqkv_ref[0] = dqkv
+    dy1 = _dot(dqkv.reshape(n_pts * tb, 3 * h_dim), wqkvt_ref[0], precision)
+    dy1 = dy1.reshape(n_pts, tb, h_dim)
+    dy1_ref[0] = dy1
+    ha = ha_ref[0]
+    dA = dB + _ln_bwd(dy1, ha, ln1s_ref[0], h_dim)
+
+    dh_s[...] = dA
+
+    @pl.when(j == num_layers - 1)
+    def _():
+        da0_ref[...] = dA
+
+
+def _full_like(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, j, _nd=nd: (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _stacked(shape_tail):
+    """BlockSpec for a [L, ...] stacked weight: one layer per grid step."""
+    nd = len(shape_tail)
+    return pl.BlockSpec((1,) + tuple(shape_tail),
+                        lambda i, j, _nd=nd: (j,) + (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _stacked_rev(shape_tail, num_layers):
+    nd = len(shape_tail)
+    return pl.BlockSpec((1,) + tuple(shape_tail),
+                        lambda i, j, _L=num_layers, _nd=nd:
+                        (_L - 1 - j,) + (0,) * _nd,
+                        memory_space=pltpu.VMEM)
+
+
+def build_pallas_train_stack(
+    basis: np.ndarray,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    block_b_fwd: int = 64,
+    block_b_bwd: int = 32,
+    group: int = 17,
+    precision="bf16x3",
+    interpret: bool = False,
+):
+    """Build ``stack_apply(weights, h0, tp, masks) → d5`` with a custom
+    VJP backed by the fused kernels.
+
+    ``weights``: dict of stacked per-layer tensors (STACK_KEYS subset of
+    ``_prep_weights`` output); ``h0``: [N, B, H] joint-major (cheb-input
+    output); ``tp``: [L, B, H]; ``masks``: dict of uint8 masks —
+    ``probs_exp`` [L, N, N, B, H] (key-major, expanded over head dims) and
+    ``attn_out/gnet_out/cheb1/cheb2`` [L, N, B, H].
+
+    Batch B must be a multiple of max(block_b_fwd, block_b_bwd) — the
+    training batch (1024) is; the caller asserts.
+    """
+    n_pts = basis.shape[1]
+    terms = _sparse_terms(np.asarray(basis, np.float64))
+    terms_t = _terms_transposed(np.asarray(basis, np.float64))
+    dk = hid_dim // num_heads
+    seg = np.zeros((hid_dim, num_heads), np.float32)
+    segt = np.zeros((num_heads, hid_dim), np.float32)
+    for h in range(num_heads):
+        seg[h * dk:(h + 1) * dk, h] = 1.0
+        segt[h, h * dk:(h + 1) * dk] = 1.0
+    seg_j, segt_j = jnp.asarray(seg), jnp.asarray(segt)
+    L, H = num_layers, hid_dim
+    f32 = jnp.float32
+
+    fwd_kernel = functools.partial(
+        _stack_fwd_kernel, terms=terms, n_pts=n_pts, num_layers=L,
+        num_heads=num_heads, h_dim=H, precision=precision, group=group)
+    bwd_kernel = functools.partial(
+        _stack_bwd_kernel, terms=terms, terms_t=terms_t, n_pts=n_pts,
+        num_layers=L, num_heads=num_heads, h_dim=H, precision=precision,
+        group=group)
+
+    def run_fwd(w, h0, tp, masks):
+        bsz = h0.shape[1]
+        tb = min(block_b_fwd, bsz)
+        assert bsz % tb == 0, (bsz, tb)
+        grid = (bsz // tb, L)
+        stash_shape = lambda wdt: jax.ShapeDtypeStruct((L, n_pts, bsz, wdt), f32)
+        out_shapes = [
+            jax.ShapeDtypeStruct((n_pts, bsz, H), f32),        # d5
+            stash_shape(H), stash_shape(H), stash_shape(H),    # ha hb hc
+            stash_shape(H), stash_shape(H), stash_shape(H),    # y1 att g1
+            stash_shape(2 * H),                                # r1
+            stash_shape(H), stash_shape(H),                    # rc1 rd1
+        ]
+        stash_spec = lambda wdt: pl.BlockSpec(
+            (1, n_pts, tb, wdt), lambda i, j: (j, 0, i, 0),
+            memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            stash_spec(H), stash_spec(H), stash_spec(H),
+            stash_spec(H), stash_spec(H), stash_spec(H),
+            stash_spec(2 * H),
+            stash_spec(H), stash_spec(H),
+        ]
+        in_specs = [
+            pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),               # h0
+            pl.BlockSpec((1, tb, H), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),               # tp
+            pl.BlockSpec((1, n_pts, n_pts, tb, H),
+                         lambda i, j: (j, 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),               # probs mask
+            *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (j, 0, i, 0),
+                           memory_space=pltpu.VMEM)] * 4,        # m1..m4
+            *[_stacked(w[k].shape[1:]) for k in STACK_KEYS],
+            _full_like(seg_j.shape), _full_like(segt_j.shape),
+        ]
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((n_pts, tb, H), f32)],
+            interpret=interpret,
+        )(
+            h0, tp,
+            masks["probs_exp"], masks["attn_out"], masks["gnet_out"],
+            masks["cheb1"], masks["cheb2"],
+            *[w[k] for k in STACK_KEYS],
+            seg_j, segt_j,
+        )
+        d5 = outs[0]
+        stashes = dict(zip(STASH_KEYS, outs[1:]))
+        return d5, stashes
+
+    def run_bwd(w, masks, stashes, dd5):
+        bsz = dd5.shape[1]
+        tb = min(block_b_bwd, bsz)
+        assert bsz % tb == 0, (bsz, tb)
+        grid = (bsz // tb, L)
+        wt = {
+            "wqkvt": jnp.swapaxes(w["wqkv"], 1, 2),
+            "waot": jnp.swapaxes(w["wao"], 1, 2),
+            "wfc1t": jnp.swapaxes(w["wfc1"], 1, 2),
+            "wfc2t": jnp.swapaxes(w["wfc2"], 1, 2),
+            "wg1t": jnp.swapaxes(w["wg1"], 2, 3),
+            "wg2t": jnp.swapaxes(w["wg2"], 2, 3),
+        }
+        dstash_shape = {
+            "dqkv": 3 * H, "do1": H, "df1": 2 * H, "df2": H,
+            "dc1": H, "dc2": H, "dy1": H, "dy2": H,
+        }
+        out_shapes = [
+            jax.ShapeDtypeStruct((n_pts, bsz, H), f32),          # dA0
+            jax.ShapeDtypeStruct((L, bsz, H), f32),              # dtp
+            *[jax.ShapeDtypeStruct((L, n_pts, bsz, dstash_shape[k]), f32)
+              for k in DSTASH_KEYS],
+        ]
+        rev = lambda j: L - 1 - j
+        dstash_spec = lambda wdt: pl.BlockSpec(
+            (1, n_pts, tb, wdt), lambda i, j: (rev(j), 0, i, 0),
+            memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, H), lambda i, j: (rev(j), i, 0),
+                         memory_space=pltpu.VMEM),
+            *[dstash_spec(dstash_shape[k]) for k in DSTASH_KEYS],
+        ]
+        stash_spec_rev = lambda wdt: pl.BlockSpec(
+            (1, n_pts, tb, wdt), lambda i, j: (rev(j), 0, i, 0),
+            memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),               # dd5
+            pl.BlockSpec((1, n_pts, n_pts, tb, H),
+                         lambda i, j: (rev(j), 0, 0, i, 0),
+                         memory_space=pltpu.VMEM),               # probs mask
+            *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (rev(j), 0, i, 0),
+                           memory_space=pltpu.VMEM)] * 4,        # m1..m4
+            stash_spec_rev(H), stash_spec_rev(H),                # ha hb
+            stash_spec_rev(H), stash_spec_rev(2 * H),            # y1 r1
+            stash_spec_rev(H), stash_spec_rev(H),                # rc1 rd1
+            _stacked_rev(w["ln1s"].shape[1:], L),
+            _stacked_rev(w["ln2s"].shape[1:], L),
+            _stacked_rev(w["wqkv"].shape[1:], L),
+            _stacked_rev(wt["wqkvt"].shape[1:], L),
+            _stacked_rev(wt["waot"].shape[1:], L),
+            _stacked_rev(w["lap"].shape[1:], L),
+            _stacked_rev(wt["wfc1t"].shape[1:], L),
+            _stacked_rev(wt["wfc2t"].shape[1:], L),
+            _stacked_rev(wt["wg1t"].shape[1:], L),
+            _stacked_rev(wt["wg2t"].shape[1:], L),
+            _stacked_rev(w["bqkv"].shape[1:], L),
+            _full_like(seg_j.shape), _full_like(segt_j.shape),
+        ]
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=grid,
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((n_pts, tb, H), f32)],
+            interpret=interpret,
+        )(
+            dd5,
+            masks["probs_exp"], masks["attn_out"], masks["gnet_out"],
+            masks["cheb1"], masks["cheb2"],
+            stashes["ha"], stashes["hb"], stashes["y1"], stashes["r1"],
+            stashes["rc1"], stashes["rd1"],
+            w["ln1s"], w["ln2s"], w["wqkv"], wt["wqkvt"], wt["waot"],
+            w["lap"], wt["wfc1t"], wt["wfc2t"], wt["wg1t"], wt["wg2t"],
+            w["bqkv"],
+            seg_j, segt_j,
+        )
+        da0, dtp = outs[0], outs[1]
+        dstashes = dict(zip(DSTASH_KEYS, outs[2:]))
+        return da0, dtp, dstashes
+
+    basis_j = jnp.asarray(basis, f32)
+
+    def weight_grads(w, masks, stashes, dstashes):
+        """Every weight gradient as big XLA GEMMs over the stashes."""
+        ds = dstashes
+        st = stashes
+        ein = lambda a, b: jnp.einsum("lnbc,lnbd->lcd", a, b)
+        # LayerNorm param grads need the normalized input
+        def ln_pieces(x, eps=1e-6):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            c = x - mean
+            var = jnp.sum(c * c, axis=-1, keepdims=True) / (H - 1)
+            return c / (jnp.sqrt(var) + eps)
+        xhat1 = ln_pieces(st["ha"])
+        xhat2 = ln_pieces(st["hb"])
+        y2 = xhat2 * w["ln2s"][:, None, None] + w["ln2b"][:, None, None]
+        g2 = jnp.einsum("lnm,lmbc->lnbc", w["lap"], st["r1"])
+        u = st["rc1"] * (masks["cheb1"].astype(f32) * IKC)  # + tp (dW-irrelevant? no!)
+        # u = rc1·M3·ikc + tp — tp enters the cheb2 input, so dWg2 needs it
+        # (added by caller via closure-free arg below)
+        xk = lambda z: jnp.einsum("knm,lmbc->lknbc", basis_j, z)
+        dwg = lambda z, d: jnp.einsum("lknbc,lnbd->lkcd", xk(z), d)
+        dg1 = jnp.einsum("lnbd,lcd->lnbc", ds["df1"], w["wfc1"])
+        dg2 = jnp.einsum("lnbd,lcd->lnbc", ds["df2"], w["wfc2"])
+        grads = {
+            "ln1s": jnp.einsum("lnbc,lnbc->lc", ds["dy1"], xhat1),
+            "ln1b": jnp.sum(ds["dy1"], axis=(1, 2)),
+            "ln2s": jnp.einsum("lnbc,lnbc->lc", ds["dy2"], xhat2),
+            "ln2b": jnp.sum(ds["dy2"], axis=(1, 2)),
+            "wqkv": ein(st["y1"], ds["dqkv"]),
+            "bqkv": jnp.sum(ds["dqkv"], axis=(1, 2)),
+            "wao": ein(st["att"], ds["do1"]),
+            "bao": jnp.sum(ds["do1"], axis=(1, 2)),
+            "lap": (jnp.einsum("lnbc,lmbc->lnm", dg1, y2)
+                    + jnp.einsum("lnbc,lmbc->lnm", dg2, st["r1"])),
+            "wfc1": ein(st["g1"], ds["df1"]),
+            "bfc1": jnp.sum(ds["df1"], axis=(1, 2)),
+            "wfc2": ein(g2, ds["df2"]),
+            "bfc2": jnp.sum(ds["df2"], axis=(1, 2)),
+            "wg1": dwg(st["hc"], ds["dc1"]),
+            "bg1": jnp.sum(ds["dc1"], axis=(1, 2)),
+            "bg2": jnp.sum(ds["dc2"], axis=(1, 2)),
+        }
+        return grads, u
+
+    @jax.custom_vjp
+    def stack_apply(w, h0, tp, masks):
+        d5, _ = run_fwd(w, h0, tp, masks)
+        return d5
+
+    def vjp_fwd(w, h0, tp, masks):
+        d5, stashes = run_fwd(w, h0, tp, masks)
+        return d5, (w, tp, masks, stashes)
+
+    def vjp_bwd(res, dd5):
+        w, tp, masks, stashes = res
+        da0, dtp, dstashes = run_bwd(w, masks, stashes, dd5)
+        grads, u = weight_grads(w, masks, stashes, dstashes)
+        u = u + tp[:, None]
+        grads["wg2"] = jnp.einsum(
+            "lknbc,lnbd->lkcd",
+            jnp.einsum("knm,lmbc->lknbc", basis_j, u), dstashes["dc2"])
+        dmasks = jax.tree_util.tree_map(jnp.zeros_like, masks)
+        dw = {k: grads[k] for k in STACK_KEYS}
+        return dw, da0, dtp, dmasks
+
+    stack_apply.defvjp(vjp_fwd, vjp_bwd)
+    return stack_apply
+
+
+def kernel_masks(masks, dk: int) -> Dict[str, Array]:
+    """Convert ``train_ref.DropoutMasks`` to the kernel layout: uint8, and
+    the probs mask key-major + expanded over each head's dk dims (heads
+    are CONSECUTIVE dk-wide segments, matching the seg matrices)."""
+    u8 = jnp.uint8
+    return {
+        "probs_exp": jnp.repeat(
+            jnp.transpose(masks.probs, (0, 2, 1, 3, 4)).astype(u8),
+            dk, axis=-1),
+        "attn_out": masks.attn_out.astype(u8),
+        "gnet_out": masks.gnet_out.astype(u8),
+        "cheb1": masks.cheb1.astype(u8),
+        "cheb2": masks.cheb2.astype(u8),
+    }
+
+
+def fused_train_forward(
+    params: Dict[str, Any],
+    basis: np.ndarray,
+    x: Array,
+    t: Array,
+    masks,
+    stack_fn,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+) -> Array:
+    """GCNDiff training forward with the fused kernel core.
+
+    Differentiable wrt ``params`` end-to-end: weight prep, timestep MLP
+    and input/output ChebConv run in XLA (autodiffed); the 5-layer stack
+    runs through ``stack_fn`` (from :func:`build_pallas_train_stack`,
+    custom VJP).  ``masks``: a ``train_ref.DropoutMasks``.
+    """
+    from flax import linen as nn
+
+    from diffpose_tpu.models.layers import timestep_embedding
+    from diffpose_tpu.ops.train_ref import _cheb as _cheb_xla
+
+    weights, _, _, _ = _prep_weights(params, basis, num_layers, num_heads, hid_dim)
+    f32 = jnp.float32
+    temb = timestep_embedding(t, hid_dim)
+    temb = nn.swish(
+        temb @ jnp.asarray(params["temb_dense_0"]["kernel"], f32)
+        + jnp.asarray(params["temb_dense_0"]["bias"], f32))
+    temb = (temb @ jnp.asarray(params["temb_dense_1"]["kernel"], f32)
+            + jnp.asarray(params["temb_dense_1"]["bias"], f32))
+    st = nn.swish(temb)
+    tp = jnp.stack([
+        st @ jnp.asarray(params[f"res_{i}"]["temb_proj"]["kernel"], f32)
+        + jnp.asarray(params[f"res_{i}"]["temb_proj"]["bias"], f32)
+        for i in range(num_layers)
+    ])
+
+    bas = jnp.asarray(basis, f32)
+    xj = jnp.transpose(x.astype(f32), (1, 0, 2))
+    h0 = _cheb_xla(xj, weights["win"], weights["bin_"], bas)
+    w_stack = {k: weights[k] for k in STACK_KEYS}
+    d5 = stack_fn(w_stack, h0, tp, kernel_masks(masks, hid_dim // num_heads))
+    out = _cheb_xla(d5, weights["wout"], weights["bout"], bas)
+    return jnp.transpose(out, (1, 0, 2))
+
+
+def make_pallas_train_step(
+    optimizer,
+    betas: np.ndarray,
+    basis: np.ndarray,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    n_pts: int = 17,
+    ema_mu=0.999,
+    block_b_fwd: int = 64,
+    block_b_bwd: int = 32,
+    group: int = 17,
+    precision="bf16x3",
+    interpret: bool = False,
+):
+    """Fused-kernel drop-in for ``train.steps.make_train_step``.
+
+    Same step semantics (GMM draw → antithetic t → q-sample → ε-MSE →
+    Adam → EMA, reference ``runners/diffpose_frame.py:203-236``); the
+    denoiser fwd+bwd runs through the Pallas kernel pair.  Dropout is
+    statistically identical to the module path (explicit masks with flax
+    semantics; the RNG stream differs, as it may).  The attention
+    ``src_mask`` is the production all-ones and is compiled out.
+    """
+    import optax
+
+    from diffpose_tpu.diffusion.ddim import antithetic_timesteps, q_sample
+    from diffpose_tpu.models.ema import ema_update
+    from diffpose_tpu.data.gmm import sample_gmm_batch
+    from diffpose_tpu.ops.train_ref import make_dropout_masks
+
+    num_timesteps = len(betas)
+    stack_fn = build_pallas_train_stack(
+        basis, num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
+        block_b_fwd=block_b_fwd, block_b_bwd=block_b_bwd, group=group,
+        precision=precision, interpret=interpret,
+    )
+
+    def train_step(state, batch: dict, key: Array):
+        k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
+        uvxyz, noise_scale, _ = sample_gmm_batch(
+            k_gmm, batch["poses_2d_gmm"], batch["poses_3d"]
+        )
+        n = uvxyz.shape[0]
+        t = antithetic_timesteps(k_t, n, num_timesteps)
+        e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
+        x_t = q_sample(uvxyz, t, e, betas)
+        masks = make_dropout_masks(
+            k_drop, num_layers=num_layers, n_pts=n_pts, batch=n,
+            num_heads=num_heads, hid_dim=hid_dim,
+        )
+
+        def loss_fn(params):
+            eps = fused_train_forward(
+                params, basis, x_t, t.astype(jnp.float32), masks, stack_fn,
+                num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
+            )
+            return jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None and ema_mu is not None:
+            ema_params = ema_update(ema_params, params, ema_mu)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, ema_params=ema_params,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step

@@ -56,6 +56,26 @@ LAYERS = 5
 HEADS = 4
 
 
+def _attention_grouped(q, k, v, seg_c, segt_c, n_pts, tb, precision, group):
+    """All queries of a group in ONE pair of segment GEMMs: the per-query
+    loop costs ~34 tiny MXU invocations per layer; grouping cuts that to
+    2·ceil(17/G)."""
+    att_rows = []
+    for g0 in range(0, n_pts, group):
+        g = min(group, n_pts - g0)
+        # P[m, j, tb, d] = k[m]·q[g0+j]
+        p = k[:, None] * q[g0:g0 + g][None]          # [17, g, tb, H]
+        s = _dot_exact_w(p.reshape(n_pts * g * tb, HID), seg_c, precision)
+        s = s.reshape(n_pts, g, tb, HEADS)
+        smax = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - smax)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)
+        w = _dot_exact_w(probs.reshape(n_pts * g * tb, HEADS), segt_c, precision)
+        w = w.reshape(n_pts, g, tb, HID)
+        att_rows.append(jnp.sum(w * v[:, None], axis=0))  # [g, tb, H]
+    return jnp.concatenate(att_rows, axis=0)
+
+
 def _kernel(
     x_ref, tp_ref, *refs,
     terms, n_pts, precision, skip,
@@ -95,18 +115,23 @@ def _kernel(
             q = qkv[..., :HID]
             k = qkv[..., HID:2 * HID]
             v = qkv[..., 2 * HID:]
-            att_rows = []
-            for n in range(n_pts):
-                p = q[n:n + 1] * k
-                s = _dot_exact_w(p.reshape(n_pts * tb, HID), seg_c, precision)
-                s = s.reshape(n_pts, tb, HEADS)
-                smax = jnp.max(s, axis=0, keepdims=True)
-                e = jnp.exp(s - smax)
-                probs = e / jnp.sum(e, axis=0, keepdims=True)
-                w = _dot_exact_w(probs.reshape(n_pts * tb, HEADS), segt_c, precision)
-                w = w.reshape(n_pts, tb, HID)
-                att_rows.append(jnp.sum(w * v, axis=0))
-            att = jnp.stack(att_rows)
+            group = next((int(s[4:]) for s in skip if s.startswith("grp")), 0)
+            if group:
+                att = _attention_grouped(
+                    q, k, v, seg_c, segt_c, n_pts, tb, precision, group)
+            else:
+                att_rows = []
+                for n in range(n_pts):
+                    p = q[n:n + 1] * k
+                    s = _dot_exact_w(p.reshape(n_pts * tb, HID), seg_c, precision)
+                    s = s.reshape(n_pts, tb, HEADS)
+                    smax = jnp.max(s, axis=0, keepdims=True)
+                    e = jnp.exp(s - smax)
+                    probs = e / jnp.sum(e, axis=0, keepdims=True)
+                    w = _dot_exact_w(probs.reshape(n_pts * tb, HEADS), segt_c, precision)
+                    w = w.reshape(n_pts, tb, HID)
+                    att_rows.append(jnp.sum(w * v, axis=0))
+                att = jnp.stack(att_rows)
             att = (
                 _dot(att.reshape(n_pts * tb, HID), wao_ref[l], precision) + bao_ref[l]
             ).reshape(n_pts, tb, HID)
@@ -134,7 +159,7 @@ def _kernel(
     o_ref[...] = cheb(h, wout_ref[...], bout_ref[...])
 
 
-def build(params, basis, precision, skip):
+def build(params, basis, precision, skip, block_b=BLOCK_B):
     n_pts = basis.shape[1]
     weights, terms, seg_j, segt_j = _prep_weights(params, basis, LAYERS, HEADS, HID)
     f32 = jnp.float32
@@ -156,7 +181,7 @@ def build(params, basis, precision, skip):
 
     def fn(x, t):
         bsz = x.shape[0]
-        bb = BLOCK_B
+        bb = block_b
         temb = timestep_embedding(t, HID)
         temb = nn.swish(temb @ t0k + t0b) @ t1k + t1b
         st = nn.swish(temb)
@@ -180,13 +205,18 @@ def build(params, basis, precision, skip):
 
 
 VARIANTS = {
-    "full": ("bf16x3", frozenset()),
-    "no_attn": ("bf16x3", frozenset({"attn"})),
-    "attn_only": ("bf16x3", frozenset({"gnetcheb"})),
-    "no_lap": ("bf16x3", frozenset({"lap"})),
-    "no_chebmix": ("bf16x3", frozenset({"chebmix"})),
-    "no_ln": ("bf16x3", frozenset({"ln"})),
-    "onepass": (None, frozenset()),
+    "full": ("bf16x3", frozenset(), BLOCK_B),
+    "no_attn": ("bf16x3", frozenset({"attn"}), BLOCK_B),
+    "attn_only": ("bf16x3", frozenset({"gnetcheb"}), BLOCK_B),
+    "no_lap": ("bf16x3", frozenset({"lap"}), BLOCK_B),
+    "no_chebmix": ("bf16x3", frozenset({"chebmix"}), BLOCK_B),
+    "no_ln": ("bf16x3", frozenset({"ln"}), BLOCK_B),
+    "onepass": (None, frozenset(), BLOCK_B),
+    # grouped-query attention: fewer, bigger segment GEMMs
+    "grp4": ("bf16x3", frozenset({"grp4"}), BLOCK_B),
+    "grp8_b64": ("bf16x3", frozenset({"grp8"}), 64),
+    "grp17_b32": ("bf16x3", frozenset({"grp17"}), 32),
+    "grp17_b64": ("bf16x3", frozenset({"grp17"}), 64),
 }
 
 
@@ -201,19 +231,23 @@ def main():
                         jnp.zeros((2, 17, 5)), jnp.zeros((2,)))["params"]
 
     for name in names:
-        precision, skip = VARIANTS[name]
-        fn = build(params, basis, precision, skip)
-        t0 = time.perf_counter()
-        out = fn(x, t)
-        jax.block_until_ready(out)
-        compile_s = time.perf_counter() - t0
-        iters = 30
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        precision, skip, bb = VARIANTS[name]
+        fn = build(params, basis, precision, skip, block_b=bb)
+        try:
+            t0 = time.perf_counter()
             out = fn(x, t)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / iters * 1e3
-        print(f"{name:12s} {ms:7.2f} ms  (compile {compile_s:.0f}s)", flush=True)
+            jax.block_until_ready(out)
+            compile_s = time.perf_counter() - t0
+            iters = 30
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(x, t)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            print(f"{name:12s} {ms:7.2f} ms  (compile {compile_s:.0f}s)", flush=True)
+        except Exception as exc:  # noqa: BLE001 — keep probing other variants
+            msg = str(exc).split("\n")[0][:160]
+            print(f"{name:12s} FAILED: {msg}", flush=True)
 
 
 if __name__ == "__main__":
