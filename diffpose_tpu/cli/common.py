@@ -73,6 +73,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--hypothesis_parallel", default=0, type=int, metavar="H",
                         help="shard test_times hypotheses over a second mesh axis "
                         "(2-D data×hypothesis mesh; psum'd hypothesis mean)")
+    parser.add_argument("--train_impl", default="module",
+                        choices=("module", "pallas"),
+                        help="training fwd+bwd implementation: standard flax "
+                        "module under XLA autodiff, or the fused whole-network "
+                        "Pallas train kernels (custom VJP; single-chip, "
+                        "batch_size %% 64 == 0)")
     parser.add_argument("--matmul_precision", default="float32",
                         choices=("float32", "BF16_BF16_F32_X3", "default"),
                         help="matmul passes for train AND module-eval: float32 "

@@ -55,6 +55,7 @@ def main(argv=None) -> int:
             eval_sweep=args.eval_sweep,
             train_sweep=args.train_sweep,
             denoiser_impl=args.denoiser_impl,
+            train_impl=args.train_impl,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,
         )

@@ -83,6 +83,8 @@ def main(argv=None) -> int:
             logging.warning("--eval_sweep has no effect with --use_implicit")
         if args.denoiser_impl != "module":
             logging.warning("--denoiser_impl has no effect with --use_implicit")
+        if args.train_impl != "module":
+            logging.warning("--train_impl has no effect with --use_implicit")
 
     try:
         runner = ImplicitRunner(
@@ -99,6 +101,7 @@ def main(argv=None) -> int:
             eval_sweep=args.eval_sweep,
             train_sweep=args.train_sweep,
             denoiser_impl=args.denoiser_impl,
+            train_impl=args.train_impl,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,
         )

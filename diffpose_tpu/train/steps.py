@@ -108,6 +108,7 @@ def make_train_sweep_step(
     sweep: int,
     ema_mu: Optional[float] = 0.999,
     mask: Optional[Array] = None,
+    base_step: Optional[Callable] = None,
 ):
     """Device-resident-data training: ``sweep`` optimizer steps per dispatch.
 
@@ -124,7 +125,8 @@ def make_train_sweep_step(
     where ``data = {"poses_3d": [N,J,3], "poses_2d_gmm": [N,J,K,5]}`` are
     device-resident arrays passed by reference (no per-call transfer).
     """
-    base = make_train_step(model, optimizer, betas, ema_mu=ema_mu, mask=mask)
+    base = base_step or make_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask)
 
     def sweep_step(state: TrainState, data: dict, idx: Array, key: Array):
         keys = jax.random.split(key, sweep)

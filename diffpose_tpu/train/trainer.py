@@ -58,6 +58,7 @@ class DiffposeRunner:
         eval_sweep: int = 1,
         train_sweep: int = 1,
         denoiser_impl: str = "module",  # "module" | "pallas"
+        train_impl: str = "module",     # "module" | "pallas"
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
     ):
@@ -81,6 +82,7 @@ class DiffposeRunner:
         # steps.make_train_sweep_step / sharding.make_sharded_train_sweep_step.
         self.train_sweep = train_sweep
         self.denoiser_impl = denoiser_impl
+        self.train_impl = train_impl
         # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
         # this model (measured, docs/PERF.md) — eval defaults to true-f32
         # passes; set "default" to trade ~0.7 mm for speed.  Training
@@ -232,9 +234,33 @@ class DiffposeRunner:
         )
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
         if self.mesh is not None:
+            if self.train_impl == "pallas":
+                logger.warning(
+                    "--train_impl pallas is single-chip; using the sharded "
+                    "module step on the mesh")
             step_fn = make_sharded_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
                 ema_mu=ema_mu, mask=self.mask,
+            )
+        elif self.train_impl == "pallas":
+            # whole-network fwd+bwd kernels with custom VJP — identical
+            # step semantics, statistically identical dropout (explicit
+            # masks); single-chip, batch must divide the kernel tiles
+            from diffpose_tpu.ops.pallas_train import make_pallas_train_step
+
+            m = self.config.model
+            b = self.config.training.batch_size
+            assert b % 64 == 0, (
+                f"--train_impl pallas needs batch_size % 64 == 0, got {b}")
+            step_fn = jax.jit(
+                make_pallas_train_step(
+                    optimizer, self.betas, self.basis,
+                    num_layers=m.num_layer, num_heads=m.n_head,
+                    hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
+                    # off-TPU (CPU smoke runs) the kernels run interpreted
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                donate_argnums=(0,),
             )
         else:
             step_fn = jax.jit(
@@ -326,11 +352,24 @@ class DiffposeRunner:
                     "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm),
                 }
 
+                base_step = None
+                if self.train_impl == "pallas":
+                    from diffpose_tpu.ops.pallas_train import make_pallas_train_step
+
+                    m = self.config.model
+                    base_step = make_pallas_train_step(
+                        optimizer, self.betas, self.basis,
+                        num_layers=m.num_layer, num_heads=m.n_head,
+                        hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+
                 def build_sweep(n):
                     return jax.jit(
                         make_train_sweep_step(
                             self.model_diff, optimizer, self.betas,
                             sweep=n, ema_mu=ema_mu, mask=self.mask,
+                            base_step=base_step,
                         ),
                         donate_argnums=(0,),
                     )

@@ -115,7 +115,7 @@ def _kernel(
             q = qkv[..., :HID]
             k = qkv[..., HID:2 * HID]
             v = qkv[..., 2 * HID:]
-            group = next((int(s[4:]) for s in skip if s.startswith("grp")), 0)
+            group = next((int(s[3:]) for s in skip if s.startswith("grp")), 0)
             if group:
                 att = _attention_grouped(
                     q, k, v, seg_c, segt_c, n_pts, tb, precision, group)
@@ -213,6 +213,7 @@ VARIANTS = {
     "no_ln": ("bf16x3", frozenset({"ln"}), BLOCK_B),
     "onepass": (None, frozenset(), BLOCK_B),
     # grouped-query attention: fewer, bigger segment GEMMs
+    "full_b32": ("bf16x3", frozenset(), 32),
     "grp4": ("bf16x3", frozenset({"grp4"}), BLOCK_B),
     "grp8_b64": ("bf16x3", frozenset({"grp8"}), 64),
     "grp17_b32": ("bf16x3", frozenset({"grp17"}), 32),
