@@ -78,7 +78,7 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="training fwd+bwd implementation: standard flax "
                         "module under XLA autodiff, or the fused whole-network "
                         "Pallas train kernels (custom VJP; single-chip, "
-                        "batch_size %% 64 == 0)")
+                        "batch_size %% 16 == 0)")
     parser.add_argument("--matmul_precision", default="float32",
                         choices=("float32", "BF16_BF16_F32_X3", "default"),
                         help="matmul passes for train AND module-eval: float32 "

@@ -15,7 +15,7 @@ GraAttenLayer+ResChebGCDiff stack as TWO whole-network Pallas kernels:
   gradient as one big, MXU-shaped GEMM per weight (XLA handles the
   leading-dim contractions Mosaic does not support).
 
-Dropout masks are **explicit inputs** (uint8, drawn in XLA with exact
+Dropout masks are **explicit inputs** (bf16 0/1, drawn in XLA with exact
 flax ``nn.Dropout`` semantics — see ``ops/train_ref.py``): forward and
 backward trivially agree, and the whole thing is testable in interpret
 mode against ``jax.grad`` of the pure-JAX reference.
@@ -64,7 +64,15 @@ STACK_KEYS = (
     "wfc1", "bfc1", "wfc2", "bfc2",
     "wg1", "bg1", "wg2", "bg2",
 )
-STASH_KEYS = ("ha", "hb", "hc", "y1", "att", "g1", "r1", "rc1", "rd1")
+# hc and g1 are NOT stashed: XLA recomputes them from hb/r1 for the
+# weight-grad GEMMs (kernel VMEM is the scarce resource)
+STASH_KEYS = ("ha", "hb", "y1", "att", "r1", "rc1", "rd1")
+# 2D [L, W] stacks: Mosaic per-layer blocks would be (1, W) which violates
+# the (8, 128)-divisibility rule — these are tiny, so they ride as FULL
+# VMEM arrays indexed dynamically by the layer program id.
+SMALL_KEYS = frozenset(
+    {"ln1s", "ln1b", "ln2s", "ln2b", "bqkv", "bao", "bfc1", "bfc2",
+     "bg1", "bg2"})
 DSTASH_KEYS = ("dqkv", "do1", "df1", "df2", "dc1", "dc2", "dy1", "dy2")
 
 IKP = 1.0 / (1.0 - RATE_ATTN_PROBS)
@@ -120,7 +128,7 @@ def _stack_fwd_kernel(
     wg1_ref, bg1_ref, wg2_ref, bg2_ref,
     seg_ref, segt_ref,
     # outputs
-    d5_ref, ha_ref, hb_ref, hc_ref, y1_ref, att_ref, g1_ref, r1_ref,
+    d5_ref, ha_ref, hb_ref, y1_ref, att_ref, r1_ref,
     rc1_ref, rd1_ref,
     # scratch
     h_s,
@@ -140,9 +148,9 @@ def _stack_fwd_kernel(
     segt_c = segt_ref[...]
 
     # ---- attention sublayer ----
-    y1 = _layer_norm(h, ln1s_ref[0], ln1b_ref[0], h_dim)
+    y1 = _layer_norm(h, ln1s_ref[j], ln1b_ref[j], h_dim)
     y1_ref[0] = y1
-    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[0]
+    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[j]
     qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
     q = qkv[..., :h_dim]
     k = qkv[..., h_dim:2 * h_dim]
@@ -151,32 +159,30 @@ def _stack_fwd_kernel(
     att = _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group)
     att_ref[0] = att
     o1 = (
-        _dot(att.reshape(n_pts * tb, h_dim), wao_ref[0], precision) + bao_ref[0]
+        _dot(att.reshape(n_pts * tb, h_dim), wao_ref[0], precision) + bao_ref[j]
     ).reshape(n_pts, tb, h_dim)
     h = h + o1 * (m1_ref[0].astype(f32) * IKS)
     hb_ref[0] = h
 
     # ---- GraphNet sublayer ----
-    y2 = _layer_norm(h, ln2s_ref[0], ln2b_ref[0], h_dim)
+    y2 = _layer_norm(h, ln2s_ref[j], ln2b_ref[j], h_dim)
     lap2d = lap_ref[0]
     g1 = _lap_mix_t(lap2d, y2, n_pts)
-    g1_ref[0] = g1
     r1 = jax.nn.relu(
-        _dot(g1.reshape(n_pts * tb, h_dim), wfc1_ref[0], precision) + bfc1_ref[0]
+        _dot(g1.reshape(n_pts * tb, h_dim), wfc1_ref[0], precision) + bfc1_ref[j]
     ).reshape(n_pts, tb, 2 * h_dim)
     r1_ref[0] = r1
     g2 = _lap_mix_t(lap2d, r1, n_pts)
     f2 = (
-        _dot(g2.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[0], precision) + bfc2_ref[0]
+        _dot(g2.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[0], precision) + bfc2_ref[j]
     ).reshape(n_pts, tb, h_dim)
     h = h + f2 * (m2_ref[0].astype(f32) * IKS)
-    hc_ref[0] = h
 
     # ---- residual Chebyshev block (dropout inside each conv) ----
-    rc1 = jax.nn.relu(_cheb(h, wg1_ref[0], bg1_ref[0], terms, n_pts, precision))
+    rc1 = jax.nn.relu(_cheb(h, wg1_ref[0], bg1_ref[j], terms, n_pts, precision))
     rc1_ref[0] = rc1
     u = rc1 * (m3_ref[0].astype(f32) * IKC) + tp_ref[0]
-    rd1 = jax.nn.relu(_cheb(u, wg2_ref[0], bg2_ref[0], terms, n_pts, precision))
+    rd1 = jax.nn.relu(_cheb(u, wg2_ref[0], bg2_ref[j], terms, n_pts, precision))
     rd1_ref[0] = rd1
     h = h + rd1 * (m4_ref[0].astype(f32) * IKC)
 
@@ -300,6 +306,7 @@ def _stack_bwd_kernel(
     *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision, group,
 ):
     j = pl.program_id(1)   # 0 .. L-1, processing layer (L-1-j)
+    l = num_layers - 1 - j  # layer index for the FULL (small 2D) stacks
     tb = dd5_ref.shape[1]
     f32 = jnp.float32
 
@@ -337,7 +344,7 @@ def _stack_bwd_kernel(
     dy2 = _lap_mix_t(lap2d, dg1, n_pts, transpose=True)
     dy2_ref[0] = dy2
     hb = hb_ref[0]
-    dB = dC + _ln_bwd(dy2, hb, ln2s_ref[0], h_dim)
+    dB = dC + _ln_bwd(dy2, hb, ln2s_ref[l], h_dim)
 
     # ---- attention bwd:  B = A + o1·M1·iks ----
     do1 = dB * (m1_ref[0].astype(f32) * IKS)
@@ -345,7 +352,7 @@ def _stack_bwd_kernel(
     datt = _dot(do1.reshape(n_pts * tb, h_dim), waot_ref[0], precision)
     datt = datt.reshape(n_pts, tb, h_dim)
     y1 = y1_ref[0]
-    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[0]
+    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[l]
     qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
     q = qkv[..., :h_dim]
     k = qkv[..., h_dim:2 * h_dim]
@@ -359,7 +366,7 @@ def _stack_bwd_kernel(
     dy1 = dy1.reshape(n_pts, tb, h_dim)
     dy1_ref[0] = dy1
     ha = ha_ref[0]
-    dA = dB + _ln_bwd(dy1, ha, ln1s_ref[0], h_dim)
+    dA = dB + _ln_bwd(dy1, ha, ln1s_ref[l], h_dim)
 
     dh_s[...] = dA
 
@@ -396,9 +403,9 @@ def build_pallas_train_stack(
     num_layers: int = 5,
     num_heads: int = 4,
     hid_dim: int = 96,
-    block_b_fwd: int = 64,
-    block_b_bwd: int = 32,
-    group: int = 17,
+    block_b_fwd: int = 16,
+    block_b_bwd: int = 16,
+    group: int = 4,
     precision="bf16x3",
     interpret: bool = False,
 ):
@@ -407,7 +414,7 @@ def build_pallas_train_stack(
 
     ``weights``: dict of stacked per-layer tensors (STACK_KEYS subset of
     ``_prep_weights`` output); ``h0``: [N, B, H] joint-major (cheb-input
-    output); ``tp``: [L, B, H]; ``masks``: dict of uint8 masks —
+    output); ``tp``: [L, B, H]; ``masks``: dict of bf16 0/1 masks —
     ``probs_exp`` [L, N, N, B, H] (key-major, expanded over head dims) and
     ``attn_out/gnet_out/cheb1/cheb2`` [L, N, B, H].
 
@@ -443,8 +450,8 @@ def build_pallas_train_stack(
         stash_shape = lambda wdt: jax.ShapeDtypeStruct((L, n_pts, bsz, wdt), f32)
         out_shapes = [
             jax.ShapeDtypeStruct((n_pts, bsz, H), f32),        # d5
-            stash_shape(H), stash_shape(H), stash_shape(H),    # ha hb hc
-            stash_shape(H), stash_shape(H), stash_shape(H),    # y1 att g1
+            stash_shape(H), stash_shape(H),                    # ha hb
+            stash_shape(H), stash_shape(H),                    # y1 att
             stash_shape(2 * H),                                # r1
             stash_shape(H), stash_shape(H),                    # rc1 rd1
         ]
@@ -454,8 +461,8 @@ def build_pallas_train_stack(
         out_specs = [
             pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            stash_spec(H), stash_spec(H), stash_spec(H),
-            stash_spec(H), stash_spec(H), stash_spec(H),
+            stash_spec(H), stash_spec(H),
+            stash_spec(H), stash_spec(H),
             stash_spec(2 * H),
             stash_spec(H), stash_spec(H),
         ]
@@ -469,7 +476,11 @@ def build_pallas_train_stack(
                          memory_space=pltpu.VMEM),               # probs mask
             *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (j, 0, i, 0),
                            memory_space=pltpu.VMEM)] * 4,        # m1..m4
-            *[_stacked(w[k].shape[1:]) for k in STACK_KEYS],
+            *[
+                _full_like(w[k].shape) if k in SMALL_KEYS
+                else _stacked(w[k].shape[1:])
+                for k in STACK_KEYS
+            ],
             _full_like(seg_j.shape), _full_like(segt_j.shape),
         ]
         outs = pl.pallas_call(
@@ -539,8 +550,8 @@ def build_pallas_train_stack(
             stash_spec_rev(H), stash_spec_rev(H),                # ha hb
             stash_spec_rev(H), stash_spec_rev(2 * H),            # y1 r1
             stash_spec_rev(H), stash_spec_rev(H),                # rc1 rd1
-            _stacked_rev(w["ln1s"].shape[1:], L),
-            _stacked_rev(w["ln2s"].shape[1:], L),
+            _full_like(w["ln1s"].shape),
+            _full_like(w["ln2s"].shape),
             _stacked_rev(w["wqkv"].shape[1:], L),
             _stacked_rev(wt["wqkvt"].shape[1:], L),
             _stacked_rev(wt["waot"].shape[1:], L),
@@ -549,7 +560,7 @@ def build_pallas_train_stack(
             _stacked_rev(wt["wfc2t"].shape[1:], L),
             _stacked_rev(wt["wg1t"].shape[1:], L),
             _stacked_rev(wt["wg2t"].shape[1:], L),
-            _stacked_rev(w["bqkv"].shape[1:], L),
+            _full_like(w["bqkv"].shape),
             _full_like(seg_j.shape), _full_like(segt_j.shape),
         ]
         outs = pl.pallas_call(
@@ -591,7 +602,11 @@ def build_pallas_train_stack(
         xhat1 = ln_pieces(st["ha"])
         xhat2 = ln_pieces(st["hb"])
         y2 = xhat2 * w["ln2s"][:, None, None] + w["ln2b"][:, None, None]
+        # recompute the un-stashed intermediates (cheap XLA GEMMs)
+        g1 = jnp.einsum("lnm,lmbc->lnbc", w["lap"], y2)
         g2 = jnp.einsum("lnm,lmbc->lnbc", w["lap"], st["r1"])
+        f2 = jnp.einsum("lnbc,lcd->lnbd", g2, w["wfc2"]) + w["bfc2"][:, None, None]
+        hc = st["hb"] + f2 * (masks["gnet_out"].astype(f32) * IKS)
         u = st["rc1"] * (masks["cheb1"].astype(f32) * IKC)  # + tp (dW-irrelevant? no!)
         # u = rc1·M3·ikc + tp — tp enters the cheb2 input, so dWg2 needs it
         # (added by caller via closure-free arg below)
@@ -610,11 +625,11 @@ def build_pallas_train_stack(
             "bao": jnp.sum(ds["do1"], axis=(1, 2)),
             "lap": (jnp.einsum("lnbc,lmbc->lnm", dg1, y2)
                     + jnp.einsum("lnbc,lmbc->lnm", dg2, st["r1"])),
-            "wfc1": ein(st["g1"], ds["df1"]),
+            "wfc1": ein(g1, ds["df1"]),
             "bfc1": jnp.sum(ds["df1"], axis=(1, 2)),
             "wfc2": ein(g2, ds["df2"]),
             "bfc2": jnp.sum(ds["df2"], axis=(1, 2)),
-            "wg1": dwg(st["hc"], ds["dc1"]),
+            "wg1": dwg(hc, ds["dc1"]),
             "bg1": jnp.sum(ds["dc1"], axis=(1, 2)),
             "bg2": jnp.sum(ds["dc2"], axis=(1, 2)),
         }
@@ -646,18 +661,19 @@ def build_pallas_train_stack(
 
 
 def kernel_masks(masks, dk: int) -> Dict[str, Array]:
-    """Convert ``train_ref.DropoutMasks`` to the kernel layout: uint8, and
+    """Convert ``train_ref.DropoutMasks`` to the kernel layout: bf16
+    (Mosaic cannot cast uint8→f32 in-kernel; 0/1 are exact in bf16), and
     the probs mask key-major + expanded over each head's dk dims (heads
     are CONSECUTIVE dk-wide segments, matching the seg matrices)."""
-    u8 = jnp.uint8
+    b16 = jnp.bfloat16
     return {
         "probs_exp": jnp.repeat(
-            jnp.transpose(masks.probs, (0, 2, 1, 3, 4)).astype(u8),
+            jnp.transpose(masks.probs, (0, 2, 1, 3, 4)).astype(b16),
             dk, axis=-1),
-        "attn_out": masks.attn_out.astype(u8),
-        "gnet_out": masks.gnet_out.astype(u8),
-        "cheb1": masks.cheb1.astype(u8),
-        "cheb2": masks.cheb2.astype(u8),
+        "attn_out": masks.attn_out.astype(b16),
+        "gnet_out": masks.gnet_out.astype(b16),
+        "cheb1": masks.cheb1.astype(b16),
+        "cheb2": masks.cheb2.astype(b16),
     }
 
 
@@ -719,9 +735,9 @@ def make_pallas_train_step(
     hid_dim: int = 96,
     n_pts: int = 17,
     ema_mu=0.999,
-    block_b_fwd: int = 64,
-    block_b_bwd: int = 32,
-    group: int = 17,
+    block_b_fwd: int = 16,
+    block_b_bwd: int = 16,
+    group: int = 4,
     precision="bf16x3",
     interpret: bool = False,
 ):

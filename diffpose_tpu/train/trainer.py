@@ -250,8 +250,8 @@ class DiffposeRunner:
 
             m = self.config.model
             b = self.config.training.batch_size
-            assert b % 64 == 0, (
-                f"--train_impl pallas needs batch_size % 64 == 0, got {b}")
+            assert b % 16 == 0, (
+                f"--train_impl pallas needs batch_size % 16 == 0, got {b}")
             step_fn = jax.jit(
                 make_pallas_train_step(
                     optimizer, self.betas, self.basis,

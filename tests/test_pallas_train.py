@@ -79,7 +79,7 @@ def test_kernel_mask_expansion(setup):
     m = np.asarray(masks.probs)          # [L, Nq, Nk, B, heads]
     me = np.asarray(km["probs_exp"])     # [L, Nk, Nq, B, H]
     assert (me[2, 3, 1, 5, 24:48] == m[2, 1, 3, 5, 1]).all()
-    assert me.dtype == np.uint8
+    assert me.dtype == jnp.bfloat16
 
 
 def test_fused_train_step_runs(setup):
