@@ -73,7 +73,9 @@ STASH_KEYS = ("ha", "hb", "y1", "att", "r1", "rc1", "rd1")
 SMALL_KEYS = frozenset(
     {"ln1s", "ln1b", "ln2s", "ln2b", "bqkv", "bao", "bfc1", "bfc2",
      "bg1", "bg2"})
-DSTASH_KEYS = ("dqkv", "do1", "df1", "df2", "dc1", "dc2", "dy1", "dy2")
+# dy1/dy2 (LN-grad inputs) are recomputed in XLA from dqkv/df1 —
+# not worth backward-kernel VMEM
+DSTASH_KEYS = ("dqkv", "do1", "df1", "df2", "dc1", "dc2")
 
 IKP = 1.0 / (1.0 - RATE_ATTN_PROBS)
 IKS = 1.0 / (1.0 - RATE_SUBLAYER)
@@ -300,7 +302,7 @@ def _stack_bwd_kernel(
     seg_ref, segt_ref,
     # outputs
     da0_ref, dtp_ref,
-    dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref, dy1_ref, dy2_ref,
+    dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref,
     # scratch
     dh_s,
     *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision, group,
@@ -342,7 +344,6 @@ def _stack_bwd_kernel(
     dg1 = _dot(df1.reshape(n_pts * tb, 2 * h_dim), wfc1t_ref[0], precision)
     dg1 = dg1.reshape(n_pts, tb, h_dim)
     dy2 = _lap_mix_t(lap2d, dg1, n_pts, transpose=True)
-    dy2_ref[0] = dy2
     hb = hb_ref[0]
     dB = dC + _ln_bwd(dy2, hb, ln2s_ref[l], h_dim)
 
@@ -364,7 +365,6 @@ def _stack_bwd_kernel(
     dqkv_ref[0] = dqkv
     dy1 = _dot(dqkv.reshape(n_pts * tb, 3 * h_dim), wqkvt_ref[0], precision)
     dy1 = dy1.reshape(n_pts, tb, h_dim)
-    dy1_ref[0] = dy1
     ha = ha_ref[0]
     dA = dB + _ln_bwd(dy1, ha, ln1s_ref[l], h_dim)
 
@@ -517,7 +517,7 @@ def build_pallas_train_stack(
         }
         dstash_shape = {
             "dqkv": 3 * H, "do1": H, "df1": 2 * H, "df2": H,
-            "dc1": H, "dc2": H, "dy1": H, "dy2": H,
+            "dc1": H, "dc2": H,
         }
         out_shapes = [
             jax.ShapeDtypeStruct((n_pts, bsz, H), f32),          # dA0
@@ -614,11 +614,14 @@ def build_pallas_train_stack(
         dwg = lambda z, d: jnp.einsum("lknbc,lnbd->lkcd", xk(z), d)
         dg1 = jnp.einsum("lnbd,lcd->lnbc", ds["df1"], w["wfc1"])
         dg2 = jnp.einsum("lnbd,lcd->lnbc", ds["df2"], w["wfc2"])
+        # LN upstream grads, recomputed (the kernel derives them anyway)
+        dy1 = jnp.einsum("lnbd,lcd->lnbc", ds["dqkv"], w["wqkv"])
+        dy2 = jnp.einsum("lmn,lmbc->lnbc", w["lap"], dg1)
         grads = {
-            "ln1s": jnp.einsum("lnbc,lnbc->lc", ds["dy1"], xhat1),
-            "ln1b": jnp.sum(ds["dy1"], axis=(1, 2)),
-            "ln2s": jnp.einsum("lnbc,lnbc->lc", ds["dy2"], xhat2),
-            "ln2b": jnp.sum(ds["dy2"], axis=(1, 2)),
+            "ln1s": jnp.einsum("lnbc,lnbc->lc", dy1, xhat1),
+            "ln1b": jnp.sum(dy1, axis=(1, 2)),
+            "ln2s": jnp.einsum("lnbc,lnbc->lc", dy2, xhat2),
+            "ln2b": jnp.sum(dy2, axis=(1, 2)),
             "wqkv": ein(st["y1"], ds["dqkv"]),
             "bqkv": jnp.sum(ds["dqkv"], axis=(1, 2)),
             "wao": ein(st["att"], ds["do1"]),
