@@ -743,6 +743,7 @@ def make_pallas_train_step(
     group: int = 4,
     precision="bf16x3",
     interpret: bool = False,
+    axis_name=None,
 ):
     """Fused-kernel drop-in for ``train.steps.make_train_step``.
 
@@ -752,6 +753,11 @@ def make_pallas_train_step(
     statistically identical to the module path (explicit masks with flax
     semantics; the RNG stream differs, as it may).  The attention
     ``src_mask`` is the production all-ones and is compiled out.
+
+    ``axis_name``: set when the step runs inside ``shard_map`` — per-shard
+    randomness decorrelates via key folding and grads/loss ``pmean`` over
+    the mesh axis, exactly like ``make_train_step``; the kernels run
+    per-device on the local shard.
     """
     import optax
 
@@ -768,6 +774,8 @@ def make_pallas_train_step(
     )
 
     def train_step(state, batch: dict, key: Array):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_gmm, k_t, k_e, k_drop = jax.random.split(key, 4)
         uvxyz, noise_scale, _ = sample_gmm_batch(
             k_gmm, batch["poses_2d_gmm"], batch["poses_3d"]
@@ -789,6 +797,9 @@ def make_pallas_train_step(
             return jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = state.ema_params

@@ -44,16 +44,19 @@ def make_sharded_train_step(
     ema_mu: Optional[float] = 0.999,
     mask=None,
     donate: bool = True,
+    base_step: Optional[Callable] = None,
 ) -> Callable:
     """Build the multi-chip training step: shard_map(data-parallel) + jit.
 
     Inside the shard each device runs the fused step from
-    :func:`diffpose_tpu.train.steps.make_train_step` on its batch shard;
-    gradients/loss are ``pmean``-reduced over ``axis``.
+    :func:`diffpose_tpu.train.steps.make_train_step` on its batch shard
+    (or an injected ``base_step`` — e.g. the fused Pallas train step built
+    with ``axis_name=axis``); gradients/loss are ``pmean``-reduced over
+    ``axis``.
     """
     from diffpose_tpu.train.steps import make_train_step
 
-    local_step = make_train_step(
+    local_step = base_step or make_train_step(
         model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis
     )
 

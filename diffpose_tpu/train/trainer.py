@@ -234,13 +234,23 @@ class DiffposeRunner:
         )
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
         if self.mesh is not None:
+            base_step = None
             if self.train_impl == "pallas":
-                logger.warning(
-                    "--train_impl pallas is single-chip; using the sharded "
-                    "module step on the mesh")
+                # kernels run per-device on the local shard; grads pmean
+                # over ICI inside the step (axis_name)
+                from diffpose_tpu.ops.pallas_train import make_pallas_train_step
+
+                m = self.config.model
+                base_step = make_pallas_train_step(
+                    optimizer, self.betas, self.basis,
+                    num_layers=m.num_layer, num_heads=m.n_head,
+                    hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
+                    axis_name="data",
+                    interpret=jax.default_backend() != "tpu",
+                )
             step_fn = make_sharded_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
-                ema_mu=ema_mu, mask=self.mask,
+                ema_mu=ema_mu, mask=self.mask, base_step=base_step,
             )
         elif self.train_impl == "pallas":
             # whole-network fwd+bwd kernels with custom VJP — identical

@@ -35,6 +35,21 @@ def main():
     bb = next((int(a[5:]) for a in sys.argv if a.startswith("--bb=")), 32)
     grp = next((int(a[6:]) for a in sys.argv if a.startswith("--grp=")), 17)
 
+    if "--nomask" in sys.argv:
+        # constant keep-everything masks: isolates the dropout-RNG cost
+        import diffpose_tpu.ops.train_ref as _tr
+        import diffpose_tpu.ops.pallas_train as _pt
+
+        real = _tr.make_dropout_masks
+
+        def const_masks(key, **kw):
+            m = real(jax.random.PRNGKey(0), **kw)
+            return _tr.DropoutMasks(*[jnp.ones_like(x) for x in m])
+
+        _tr.make_dropout_masks = const_masks
+        _pt.make_dropout_masks = const_masks  # not imported there, but safe
+        print("NOMASK: constant all-ones dropout masks", flush=True)
+
     basis = cheb_basis_from_edges(17, H36M_EDGES)
     betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
                               num_diffusion_timesteps=51)

@@ -112,3 +112,39 @@ def test_fused_train_step_runs(setup):
     moved = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_sharded_fused_step_matches_structure(setup):
+    """Fused step composes with the data mesh: per-shard kernels, grads
+    pmean'd over ICI — loss finite, params replicated-consistent."""
+    basis, params, x, t, masks, stack_fn = setup
+    import numpy as np2
+
+    from diffpose_tpu.diffusion import get_beta_schedule
+    from diffpose_tpu.models import ema_register
+    from diffpose_tpu.parallel import make_mesh
+    from diffpose_tpu.parallel.sharding import make_sharded_train_step
+    from diffpose_tpu.train.optim import make_optimizer
+    from diffpose_tpu.train.state import TrainState
+
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
+                              num_diffusion_timesteps=51)
+    opt = make_optimizer(lr=2e-4, steps_per_epoch=1)
+    state = TrainState.create(params, opt.init(params),
+                              ema_params=ema_register(params))
+    base = make_pallas_train_step(
+        opt, betas, basis, block_b_fwd=8, block_b_bwd=8, group=4,
+        precision=None, interpret=True, axis_name="data")
+    mesh = make_mesh()
+    step = make_sharded_train_step(
+        None, opt, betas, mesh, base_step=base, donate=False)
+    rng = np2.random.default_rng(3)
+    n = 64  # 8 per shard
+    batch = {
+        "poses_3d": jnp.asarray(rng.normal(size=(n, 17, 3)).astype(np2.float32)),
+        "poses_2d_gmm": jnp.asarray(
+            np2.abs(rng.normal(size=(n, 17, 5, 5))).astype(np2.float32) + 0.1),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(9))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert int(new_state.step) == 1
