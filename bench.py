@@ -85,9 +85,12 @@ def _bench_tpu_inner(iters: int) -> float:
     if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
         from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval
 
+        block_b = int(os.environ.get("BENCH_BLOCK_B", "128"))
+        vmem_mb = int(os.environ.get("BENCH_VMEM_MB", "0"))
         eval_one = make_pallas_eval(
             params_pose, params_diff, basis,
             seq=SEQ, betas=betas, test_times=TEST_TIMES, precision="bf16x3",
+            block_b=block_b, vmem_limit_bytes=vmem_mb * 2**20 or None,
         )
     else:
         def denoise(x, t):

@@ -79,6 +79,13 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "module under XLA autodiff, or the fused whole-network "
                         "Pallas train kernels (custom VJP; single-chip, "
                         "batch_size %% 16 == 0)")
+    parser.add_argument("--dropout_impl", default="masks",
+                        choices=("masks", "prng"),
+                        help="dropout for --train_impl pallas: explicit bf16 "
+                        "masks drawn in XLA (exact flax semantics, works "
+                        "everywhere) or in-kernel TPU PRNG (no mask HBM "
+                        "traffic — statistically identical; TPU-only, falls "
+                        "back to masks off-TPU)")
     parser.add_argument("--matmul_precision", default="float32",
                         choices=("float32", "BF16_BF16_F32_X3", "default"),
                         help="matmul passes for train AND module-eval: float32 "

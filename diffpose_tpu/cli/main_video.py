@@ -62,7 +62,8 @@ def main(argv=None) -> int:
     # Sweep/Pallas knobs are frame-runner features; say so instead of
     # silently accepting them from the shared flag set.
     for flag, default in (("eval_sweep", 1), ("train_sweep", 1),
-                          ("denoiser_impl", "module"), ("train_impl", "module")):
+                          ("denoiser_impl", "module"), ("train_impl", "module"),
+                          ("dropout_impl", "masks")):
         if getattr(args, flag) != default:
             logging.warning("--%s is not supported by the video runner; ignored", flag)
 

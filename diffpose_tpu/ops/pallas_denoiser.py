@@ -292,9 +292,10 @@ def make_pallas_denoiser(
     num_layers: int = 5,
     num_heads: int = 4,
     hid_dim: int = 96,
-    block_b: int = 128,  # VMEM ceiling: 256 OOMs scoped vmem (docs/PERF.md)
+    block_b: int = 128,  # ceiling at the default 16 MB scoped-vmem limit
     interpret: bool = False,
     precision=None,
+    vmem_limit_bytes=None,  # raise Mosaic's 16 MB scoped-VMEM default
 ):
     """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
 
@@ -361,6 +362,8 @@ def make_pallas_denoiser(
             ],
             out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
         )(xj, tp, *w_args, seg_j, segt_j)
         out = jnp.transpose(out, (1, 0, 2))
         return out[:bsz] if pad else out
@@ -378,6 +381,7 @@ def make_pallas_lifter(
     block_b: int = 128,
     interpret: bool = False,
     precision=None,
+    vmem_limit_bytes=None,
 ):
     """Build ``fn(x2d) → xyz`` — GCNPose forward as one Pallas kernel.
 
@@ -421,6 +425,8 @@ def make_pallas_lifter(
             ],
             out_specs=pl.BlockSpec((n_pts, bb, c_out), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
         )(xj, *w_args, seg_j, segt_j)
         out = jnp.transpose(out, (1, 0, 2))
         return out[:bsz] if pad else out

@@ -44,6 +44,7 @@ def make_pallas_eval(
     num_heads: int = 4,
     hid_dim: int = 96,
     interpret: bool = False,
+    vmem_limit_bytes=None,
 ):
     """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` (root-relative mean
     over ``test_times`` hypotheses), the fused-kernel equivalent of the
@@ -54,6 +55,7 @@ def make_pallas_eval(
     kw = dict(
         num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
         block_b=block_b, precision=precision, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes,
     )
     lift = make_pallas_lifter(params_pose, basis, **kw)
     denoise = make_pallas_denoiser(params_diff, basis, **kw)

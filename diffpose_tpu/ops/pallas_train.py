@@ -15,10 +15,23 @@ GraAttenLayer+ResChebGCDiff stack as TWO whole-network Pallas kernels:
   gradient as one big, MXU-shaped GEMM per weight (XLA handles the
   leading-dim contractions Mosaic does not support).
 
-Dropout masks are **explicit inputs** (bf16 0/1, drawn in XLA with exact
-flax ``nn.Dropout`` semantics — see ``ops/train_ref.py``): forward and
-backward trivially agree, and the whole thing is testable in interpret
-mode against ``jax.grad`` of the pure-JAX reference.
+Dropout comes in two flavors (``dropout=`` on the builder):
+
+* ``"masks"`` — explicit bf16 0/1 mask inputs, drawn in XLA with exact
+  flax ``nn.Dropout`` semantics (see ``ops/train_ref.py``): forward and
+  backward trivially agree, and the whole thing is testable in interpret
+  mode against ``jax.grad`` of the pure-JAX reference.
+* ``"prng"`` — masks are generated INSIDE the kernels with the TPU
+  per-core PRNG (``pltpu.prng_seed`` / ``prng_random_bits``): each mask
+  is a pure function of ``(step seed, layer, batch-chunk, stream)``, so
+  the backward kernel regenerates bit-identical masks by reseeding.
+  This removes the ~350 MB/step of mask HBM traffic (generate + write +
+  2× kernel reads; the probs mask alone is ``[5,17,17,B,96]``) at the
+  cost of stashing ``hc``/``u`` (2 × ``[5,17,B,96]`` f32) so the XLA
+  weight-gradient GEMMs no longer need masks.  Statistically identical
+  to flax dropout (per-element Bernoulli at the same rates; per-head on
+  attention probs); the bit-stream differs, as it may.  Hardware-only
+  (Mosaic's interpret mode lacks the PRNG primitives).
 
 The wrapper is a ``jax.custom_vjp`` at the prepped-weight-stack boundary:
 the tiny surrounding math (timestep MLP, input/output ChebConv, the
@@ -64,9 +77,11 @@ STACK_KEYS = (
     "wfc1", "bfc1", "wfc2", "bfc2",
     "wg1", "bg1", "wg2", "bg2",
 )
-# hc and g1 are NOT stashed: XLA recomputes them from hb/r1 for the
-# weight-grad GEMMs (kernel VMEM is the scarce resource)
+# hc and g1 are NOT stashed in masks mode: XLA recomputes them from hb/r1
+# for the weight-grad GEMMs (kernel VMEM is the scarce resource).  In
+# prng mode hc and u ARE stashed — XLA has no masks to recompute with.
 STASH_KEYS = ("ha", "hb", "y1", "att", "r1", "rc1", "rd1")
+PRNG_STASH_KEYS = STASH_KEYS + ("hc", "u")
 # 2D [L, W] stacks: Mosaic per-layer blocks would be (1, W) which violates
 # the (8, 128)-divisibility rule — these are tiny, so they ride as FULL
 # VMEM arrays indexed dynamically by the layer program id.
@@ -80,6 +95,12 @@ DSTASH_KEYS = ("dqkv", "do1", "df1", "df2", "dc1", "dc2")
 IKP = 1.0 / (1.0 - RATE_ATTN_PROBS)
 IKS = 1.0 / (1.0 - RATE_SUBLAYER)
 IKC = 1.0 / (1.0 - RATE_CHEB)
+
+# in-kernel PRNG stream layout: seed id = (layer*CHUNK_STRIDE + chunk)*8
+# + stream.  CHUNK_STRIDE bounds batch/(mask chunk) — 1M frames at the
+# minimum chunk of 8 stays well inside it.
+_CHUNK_STRIDE = 1 << 17
+_STREAMS = 8  # 0: attention probs, 1..4: m1..m4
 
 
 def _lap_mix_t(lap2d, z, n_pts, transpose=False):
@@ -120,6 +141,75 @@ def _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group):
     return jnp.concatenate(att_rows, axis=0)
 
 
+def _layer_fwd_math(h, tp_j, masks, lw, seg_c, segt_c,
+                    *, terms, n_pts, h_dim, precision, group):
+    """One GraAttenLayer+ResChebGCDiff layer forward.
+
+    ``masks``: dict of f32 0/1 values — ``mp`` [Nk,Nq,tb,H] (head-expanded
+    prob dropout), ``m1..m4`` [N,tb,H].  ``lw``: per-layer weight VALUES.
+    Returns ``(h_out, stashes)`` with every PRNG_STASH_KEYS entry.
+    """
+    tb = h.shape[1]
+    st = {"ha": h}
+
+    # ---- attention sublayer ----
+    y1 = _layer_norm(h, lw["ln1s"], lw["ln1b"], h_dim)
+    st["y1"] = y1
+    qkv = _dot(y1.reshape(n_pts * tb, h_dim), lw["wqkv"], precision) + lw["bqkv"]
+    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
+    q = qkv[..., :h_dim]
+    k = qkv[..., h_dim:2 * h_dim]
+    v = qkv[..., 2 * h_dim:]
+    att = _attention_fwd(
+        q, k, v, masks["mp"], seg_c, segt_c, n_pts, precision, group)
+    st["att"] = att
+    o1 = (
+        _dot(att.reshape(n_pts * tb, h_dim), lw["wao"], precision) + lw["bao"]
+    ).reshape(n_pts, tb, h_dim)
+    h = h + o1 * (masks["m1"] * IKS)
+    st["hb"] = h
+
+    # ---- GraphNet sublayer ----
+    y2 = _layer_norm(h, lw["ln2s"], lw["ln2b"], h_dim)
+    g1 = _lap_mix_t(lw["lap"], y2, n_pts)
+    r1 = jax.nn.relu(
+        _dot(g1.reshape(n_pts * tb, h_dim), lw["wfc1"], precision) + lw["bfc1"]
+    ).reshape(n_pts, tb, 2 * h_dim)
+    st["r1"] = r1
+    g2 = _lap_mix_t(lw["lap"], r1, n_pts)
+    f2 = (
+        _dot(g2.reshape(n_pts * tb, 2 * h_dim), lw["wfc2"], precision) + lw["bfc2"]
+    ).reshape(n_pts, tb, h_dim)
+    h = h + f2 * (masks["m2"] * IKS)
+    st["hc"] = h
+
+    # ---- residual Chebyshev block (dropout inside each conv) ----
+    rc1 = jax.nn.relu(_cheb(h, lw["wg1"], lw["bg1"], terms, n_pts, precision))
+    st["rc1"] = rc1
+    u = rc1 * (masks["m3"] * IKC) + tp_j
+    st["u"] = u
+    rd1 = jax.nn.relu(_cheb(u, lw["wg2"], lw["bg2"], terms, n_pts, precision))
+    st["rd1"] = rd1
+    h = h + rd1 * (masks["m4"] * IKC)
+    return h, st
+
+
+def _fwd_lw(j, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref, bqkv_ref,
+            wao_ref, bao_ref, lap_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+            bfc2_ref, wg1_ref, bg1_ref, wg2_ref, bg2_ref):
+    return {
+        "ln1s": ln1s_ref[j], "ln1b": ln1b_ref[j],
+        "ln2s": ln2s_ref[j], "ln2b": ln2b_ref[j],
+        "wqkv": wqkv_ref[0], "bqkv": bqkv_ref[j],
+        "wao": wao_ref[0], "bao": bao_ref[j],
+        "lap": lap_ref[0],
+        "wfc1": wfc1_ref[0], "bfc1": bfc1_ref[j],
+        "wfc2": wfc2_ref[0], "bfc2": bfc2_ref[j],
+        "wg1": wg1_ref[0], "bg1": bg1_ref[j],
+        "wg2": wg2_ref[0], "bg2": bg2_ref[j],
+    }
+
+
 def _stack_fwd_kernel(
     # inputs
     h0_ref, tp_ref, mp_ref, m1_ref, m2_ref, m3_ref, m4_ref,
@@ -137,57 +227,130 @@ def _stack_fwd_kernel(
     *, terms, n_pts, num_layers, num_heads, h_dim, precision, group,
 ):
     j = pl.program_id(1)
-    tb = h0_ref.shape[1]
     f32 = jnp.float32
 
     @pl.when(j == 0)
     def _():
         h_s[...] = h0_ref[...]
 
-    h = h_s[...]
-    ha_ref[0] = h
-    seg_c = seg_ref[...]
-    segt_c = segt_ref[...]
+    masks = {
+        "mp": mp_ref[0].astype(f32),
+        "m1": m1_ref[0].astype(f32), "m2": m2_ref[0].astype(f32),
+        "m3": m3_ref[0].astype(f32), "m4": m4_ref[0].astype(f32),
+    }
+    lw = _fwd_lw(j, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref,
+                 bqkv_ref, wao_ref, bao_ref, lap_ref, wfc1_ref, bfc1_ref,
+                 wfc2_ref, bfc2_ref, wg1_ref, bg1_ref, wg2_ref, bg2_ref)
+    h, st = _layer_fwd_math(
+        h_s[...], tp_ref[0], masks, lw, seg_ref[...], segt_ref[...],
+        terms=terms, n_pts=n_pts, h_dim=h_dim, precision=precision,
+        group=group)
+    for ref, key in zip(
+            (ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref),
+            STASH_KEYS):
+        ref[0] = st[key]
+    h_s[...] = h
 
-    # ---- attention sublayer ----
-    y1 = _layer_norm(h, ln1s_ref[j], ln1b_ref[j], h_dim)
-    y1_ref[0] = y1
-    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[j]
-    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
-    q = qkv[..., :h_dim]
-    k = qkv[..., h_dim:2 * h_dim]
-    v = qkv[..., 2 * h_dim:]
-    mp = mp_ref[0].astype(f32)
-    att = _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group)
-    att_ref[0] = att
-    o1 = (
-        _dot(att.reshape(n_pts * tb, h_dim), wao_ref[0], precision) + bao_ref[j]
-    ).reshape(n_pts, tb, h_dim)
-    h = h + o1 * (m1_ref[0].astype(f32) * IKS)
-    hb_ref[0] = h
+    @pl.when(j == num_layers - 1)
+    def _():
+        d5_ref[...] = h
 
-    # ---- GraphNet sublayer ----
-    y2 = _layer_norm(h, ln2s_ref[j], ln2b_ref[j], h_dim)
-    lap2d = lap_ref[0]
-    g1 = _lap_mix_t(lap2d, y2, n_pts)
-    r1 = jax.nn.relu(
-        _dot(g1.reshape(n_pts * tb, h_dim), wfc1_ref[0], precision) + bfc1_ref[j]
-    ).reshape(n_pts, tb, 2 * h_dim)
-    r1_ref[0] = r1
-    g2 = _lap_mix_t(lap2d, r1, n_pts)
-    f2 = (
-        _dot(g2.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[0], precision) + bfc2_ref[j]
-    ).reshape(n_pts, tb, h_dim)
-    h = h + f2 * (m2_ref[0].astype(f32) * IKS)
 
-    # ---- residual Chebyshev block (dropout inside each conv) ----
-    rc1 = jax.nn.relu(_cheb(h, wg1_ref[0], bg1_ref[j], terms, n_pts, precision))
-    rc1_ref[0] = rc1
-    u = rc1 * (m3_ref[0].astype(f32) * IKC) + tp_ref[0]
-    rd1 = jax.nn.relu(_cheb(u, wg2_ref[0], bg2_ref[j], terms, n_pts, precision))
-    rd1_ref[0] = rd1
-    h = h + rd1 * (m4_ref[0].astype(f32) * IKC)
+# ---------------------------------------------------------------------------
+# In-kernel PRNG dropout
 
+
+def _uniform_01(shape):
+    """Uniform [0,1) f32 from the per-core PRNG: top 23 bits → mantissa
+    scale (avoids uint→float casts Mosaic does not support)."""
+    bits = pltpu.prng_random_bits(shape)
+    i32 = pltpu.bitcast(bits, jnp.int32)
+    top = jax.lax.shift_right_logical(i32, 9)
+    return top.astype(jnp.float32) * (2.0 ** -23)
+
+
+def _gen_masks(seed0, l, i, nck, mtb, n_pts, h_dim, heads, segt_c, precision):
+    """Draw this (layer, batch-tile)'s dropout masks from the TPU PRNG.
+
+    Each mask is seeded independently per (layer ``l``, global batch chunk,
+    stream), so forward and backward kernels — and any tile size whose
+    chunk grid aligns on ``mtb`` — regenerate identical bits in any order.
+    Returns f32 0/1 values: ``mp`` [N,N,tb,H] (head-expanded), ``mph``
+    [N,N,tb,heads] (compact, for dump/validation), ``m1..m4`` [N,tb,H].
+    """
+    keep_p = 1.0 - RATE_ATTN_PROBS
+    keeps = (1.0 - RATE_SUBLAYER, 1.0 - RATE_SUBLAYER,
+             1.0 - RATE_CHEB, 1.0 - RATE_CHEB)
+    mp_cs, mph_cs = [], []
+    m_cs = ([], [], [], [])
+    for c in range(nck):
+        chunk = i * nck + c
+        base = (l * _CHUNK_STRIDE + chunk) * _STREAMS
+        pltpu.prng_seed(seed0, base)
+        kh = (_uniform_01((n_pts * n_pts * mtb, heads)) < keep_p
+              ).astype(jnp.float32)
+        mph_cs.append(kh.reshape(n_pts, n_pts, mtb, heads))
+        # head → per-dim expansion via the exact 0/1 segment matrix
+        mp = _dot_exact_w(kh, segt_c, precision)
+        mp_cs.append(mp.reshape(n_pts, n_pts, mtb, h_dim))
+        for s in range(4):
+            pltpu.prng_seed(seed0, base + 1 + s)
+            m = (_uniform_01((n_pts * mtb, h_dim)) < keeps[s]
+                 ).astype(jnp.float32)
+            m_cs[s].append(m.reshape(n_pts, mtb, h_dim))
+    cat = lambda xs, ax: xs[0] if len(xs) == 1 else jnp.concatenate(xs, ax)
+    return {
+        "mp": cat(mp_cs, 2), "mph": cat(mph_cs, 2),
+        "m1": cat(m_cs[0], 1), "m2": cat(m_cs[1], 1),
+        "m3": cat(m_cs[2], 1), "m4": cat(m_cs[3], 1),
+    }
+
+
+def _stack_fwd_kernel_prng(
+    # inputs
+    seed_ref,
+    h0_ref, tp_ref,
+    ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    wqkv_ref, bqkv_ref, wao_ref, bao_ref,
+    lap_ref,
+    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wg1_ref, bg1_ref, wg2_ref, bg2_ref,
+    seg_ref, segt_ref,
+    # outputs (d5 + PRNG_STASH_KEYS [+ mask dumps])
+    *refs,
+    # static
+    terms, n_pts, num_layers, num_heads, h_dim, precision, group, mtb, dump,
+):
+    (d5_ref, ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref,
+     hc_ref, u_ref) = refs[:10]
+    dump_refs = refs[10:15] if dump else ()
+    h_s = refs[-1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        h_s[...] = h0_ref[...]
+
+    tb = h0_ref.shape[1]
+    masks = _gen_masks(seed_ref[0], j, i, tb // mtb, mtb, n_pts, h_dim,
+                       num_heads, segt_ref[...], precision)
+    if dump:
+        dump_refs[0][0] = masks["mph"]
+        for r, key in zip(dump_refs[1:], ("m1", "m2", "m3", "m4")):
+            r[0] = masks[key]
+    lw = _fwd_lw(j, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, wqkv_ref,
+                 bqkv_ref, wao_ref, bao_ref, lap_ref, wfc1_ref, bfc1_ref,
+                 wfc2_ref, bfc2_ref, wg1_ref, bg1_ref, wg2_ref, bg2_ref)
+    h, st = _layer_fwd_math(
+        h_s[...], tp_ref[0], masks, lw, seg_ref[...], segt_ref[...],
+        terms=terms, n_pts=n_pts, h_dim=h_dim, precision=precision,
+        group=group)
+    for ref, key in zip(
+            (ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref,
+             hc_ref, u_ref),
+            PRNG_STASH_KEYS):
+        ref[0] = st[key]
     h_s[...] = h
 
     @pl.when(j == num_layers - 1)
@@ -291,6 +454,67 @@ def _terms_transposed(basis: np.ndarray, tol: float = 1e-12):
     return out
 
 
+def _layer_bwd_math(dh, masks, st, lw, seg_c, segt_c,
+                    *, terms_t, n_pts, h_dim, precision, group):
+    """One layer backward from upstream grad ``dh`` (wrt the layer output).
+
+    ``st``: stash VALUES for this layer; ``lw``: per-layer weight values
+    incl. the transposed stacks.  Returns ``(dA, dtp_j, dstashes)``.
+    """
+    tb = dh.shape[1]
+
+    # ---- cheb block bwd:  D = C + rd1·M4·ikc ----
+    dc2 = (dh * (masks["m4"] * IKC)) * (st["rd1"] > 0)
+    du = _cheb_bwd_data(dc2, lw["wg2t"], terms_t, n_pts, precision)
+    # u = rc1·M3·ikc + tp  →  dtp = Σ_joints du
+    dtp_j = jnp.sum(du, axis=0)
+    dc1 = (du * (masks["m3"] * IKC)) * (st["rc1"] > 0)
+    dC = dh + _cheb_bwd_data(dc1, lw["wg1t"], terms_t, n_pts, precision)
+
+    # ---- GraphNet bwd:  C = B + f2·M2·iks ----
+    df2 = dC * (masks["m2"] * IKS)
+    dg2 = _dot(df2.reshape(n_pts * tb, h_dim), lw["wfc2t"], precision)
+    dg2 = dg2.reshape(n_pts, tb, 2 * h_dim)
+    df1 = _lap_mix_t(lw["lap"], dg2, n_pts, transpose=True) * (st["r1"] > 0)
+    dg1 = _dot(df1.reshape(n_pts * tb, 2 * h_dim), lw["wfc1t"], precision)
+    dg1 = dg1.reshape(n_pts, tb, h_dim)
+    dy2 = _lap_mix_t(lw["lap"], dg1, n_pts, transpose=True)
+    dB = dC + _ln_bwd(dy2, st["hb"], lw["ln2s"], h_dim)
+
+    # ---- attention bwd:  B = A + o1·M1·iks ----
+    do1 = dB * (masks["m1"] * IKS)
+    datt = _dot(do1.reshape(n_pts * tb, h_dim), lw["waot"], precision)
+    datt = datt.reshape(n_pts, tb, h_dim)
+    qkv = _dot(st["y1"].reshape(n_pts * tb, h_dim), lw["wqkv"], precision) \
+        + lw["bqkv"]
+    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
+    q = qkv[..., :h_dim]
+    k = qkv[..., h_dim:2 * h_dim]
+    v = qkv[..., 2 * h_dim:]
+    dq, dk, dv = _attention_bwd(
+        q, k, v, masks["mp"], datt, seg_c, segt_c, n_pts, precision, group)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)          # [N, tb, 3H]
+    dy1 = _dot(dqkv.reshape(n_pts * tb, 3 * h_dim), lw["wqkvt"], precision)
+    dy1 = dy1.reshape(n_pts, tb, h_dim)
+    dA = dB + _ln_bwd(dy1, st["ha"], lw["ln1s"], h_dim)
+
+    ds = {"dqkv": dqkv, "do1": do1, "df1": df1, "df2": df2,
+          "dc1": dc1, "dc2": dc2}
+    return dA, dtp_j, ds
+
+
+def _bwd_lw(l, ln1s_ref, ln2s_ref, wqkv_ref, wqkvt_ref, waot_ref, lap_ref,
+            wfc1t_ref, wfc2t_ref, wg1t_ref, wg2t_ref, bqkv_ref):
+    return {
+        "ln1s": ln1s_ref[l], "ln2s": ln2s_ref[l],
+        "wqkv": wqkv_ref[0], "wqkvt": wqkvt_ref[0], "waot": waot_ref[0],
+        "lap": lap_ref[0],
+        "wfc1t": wfc1t_ref[0], "wfc2t": wfc2t_ref[0],
+        "wg1t": wg1t_ref[...][0], "wg2t": wg2t_ref[...][0],
+        "bqkv": bqkv_ref[l],
+    }
+
+
 def _stack_bwd_kernel(
     # inputs
     dd5_ref, mp_ref, m1_ref, m2_ref, m3_ref, m4_ref,
@@ -309,65 +533,79 @@ def _stack_bwd_kernel(
 ):
     j = pl.program_id(1)   # 0 .. L-1, processing layer (L-1-j)
     l = num_layers - 1 - j  # layer index for the FULL (small 2D) stacks
-    tb = dd5_ref.shape[1]
     f32 = jnp.float32
 
     @pl.when(j == 0)
     def _():
         dh_s[...] = dd5_ref[...]
 
-    dh = dh_s[...]
-    seg_c = seg_ref[...]
-    segt_c = segt_ref[...]
+    masks = {
+        "mp": mp_ref[0].astype(f32),
+        "m1": m1_ref[0].astype(f32), "m2": m2_ref[0].astype(f32),
+        "m3": m3_ref[0].astype(f32), "m4": m4_ref[0].astype(f32),
+    }
+    st = {"ha": ha_ref[0], "hb": hb_ref[0], "y1": y1_ref[0],
+          "r1": r1_ref[0], "rc1": rc1_ref[0], "rd1": rd1_ref[0]}
+    lw = _bwd_lw(l, ln1s_ref, ln2s_ref, wqkv_ref, wqkvt_ref, waot_ref,
+                 lap_ref, wfc1t_ref, wfc2t_ref, wg1t_ref, wg2t_ref, bqkv_ref)
+    dA, dtp_j, ds = _layer_bwd_math(
+        dh_s[...], masks, st, lw, seg_ref[...], segt_ref[...],
+        terms_t=terms_t, n_pts=n_pts, h_dim=h_dim, precision=precision,
+        group=group)
+    dtp_ref[0] = dtp_j
+    for ref, key in zip(
+            (dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref),
+            DSTASH_KEYS):
+        ref[0] = ds[key]
+    dh_s[...] = dA
 
-    # ---- cheb block bwd:  D = C + rd1·M4·ikc ----
-    rd1 = rd1_ref[0]
-    dc2 = (dh * (m4_ref[0].astype(f32) * IKC)) * (rd1 > 0)
-    dc2_ref[0] = dc2
-    du = _cheb_bwd_data(dc2, wg2t_ref[...][0], terms_t, n_pts, precision)
-    # u = rc1·M3·ikc + tp  →  dtp = Σ_joints du
-    dtp_ref[0] = jnp.sum(du, axis=0)
-    rc1 = rc1_ref[0]
-    dc1 = (du * (m3_ref[0].astype(f32) * IKC)) * (rc1 > 0)
-    dc1_ref[0] = dc1
-    dC = dh + _cheb_bwd_data(dc1, wg1t_ref[...][0], terms_t, n_pts, precision)
+    @pl.when(j == num_layers - 1)
+    def _():
+        da0_ref[...] = dA
 
-    # ---- GraphNet bwd:  C = B + f2·M2·iks ----
-    df2 = dC * (m2_ref[0].astype(f32) * IKS)
-    df2_ref[0] = df2
-    dg2 = _dot(df2.reshape(n_pts * tb, h_dim), wfc2t_ref[0], precision)
-    dg2 = dg2.reshape(n_pts, tb, 2 * h_dim)
-    lap2d = lap_ref[0]
-    r1 = r1_ref[0]
-    df1 = _lap_mix_t(lap2d, dg2, n_pts, transpose=True) * (r1 > 0)
-    df1_ref[0] = df1
-    dg1 = _dot(df1.reshape(n_pts * tb, 2 * h_dim), wfc1t_ref[0], precision)
-    dg1 = dg1.reshape(n_pts, tb, h_dim)
-    dy2 = _lap_mix_t(lap2d, dg1, n_pts, transpose=True)
-    hb = hb_ref[0]
-    dB = dC + _ln_bwd(dy2, hb, ln2s_ref[l], h_dim)
 
-    # ---- attention bwd:  B = A + o1·M1·iks ----
-    do1 = dB * (m1_ref[0].astype(f32) * IKS)
-    do1_ref[0] = do1
-    datt = _dot(do1.reshape(n_pts * tb, h_dim), waot_ref[0], precision)
-    datt = datt.reshape(n_pts, tb, h_dim)
-    y1 = y1_ref[0]
-    qkv = _dot(y1.reshape(n_pts * tb, h_dim), wqkv_ref[0], precision) + bqkv_ref[l]
-    qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
-    q = qkv[..., :h_dim]
-    k = qkv[..., h_dim:2 * h_dim]
-    v = qkv[..., 2 * h_dim:]
-    mp = mp_ref[0].astype(f32)
-    dq, dk, dv = _attention_bwd(
-        q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group)
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)          # [N, tb, 3H]
-    dqkv_ref[0] = dqkv
-    dy1 = _dot(dqkv.reshape(n_pts * tb, 3 * h_dim), wqkvt_ref[0], precision)
-    dy1 = dy1.reshape(n_pts, tb, h_dim)
-    ha = ha_ref[0]
-    dA = dB + _ln_bwd(dy1, ha, ln1s_ref[l], h_dim)
+def _stack_bwd_kernel_prng(
+    # inputs
+    seed_ref,
+    dd5_ref,
+    ha_ref, hb_ref, y1_ref, r1_ref, rc1_ref, rd1_ref,
+    ln1s_ref, ln2s_ref,
+    wqkv_ref, wqkvt_ref, waot_ref, lap_ref,
+    wfc1t_ref, wfc2t_ref, wg1t_ref, wg2t_ref,
+    bqkv_ref,
+    seg_ref, segt_ref,
+    # outputs
+    da0_ref, dtp_ref,
+    dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref,
+    # scratch
+    dh_s,
+    *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision,
+    group, mtb,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    l = num_layers - 1 - j
 
+    @pl.when(j == 0)
+    def _():
+        dh_s[...] = dd5_ref[...]
+
+    tb = dd5_ref.shape[1]
+    masks = _gen_masks(seed_ref[0], l, i, tb // mtb, mtb, n_pts, h_dim,
+                       num_heads, segt_ref[...], precision)
+    st = {"ha": ha_ref[0], "hb": hb_ref[0], "y1": y1_ref[0],
+          "r1": r1_ref[0], "rc1": rc1_ref[0], "rd1": rd1_ref[0]}
+    lw = _bwd_lw(l, ln1s_ref, ln2s_ref, wqkv_ref, wqkvt_ref, waot_ref,
+                 lap_ref, wfc1t_ref, wfc2t_ref, wg1t_ref, wg2t_ref, bqkv_ref)
+    dA, dtp_j, ds = _layer_bwd_math(
+        dh_s[...], masks, st, lw, seg_ref[...], segt_ref[...],
+        terms_t=terms_t, n_pts=n_pts, h_dim=h_dim, precision=precision,
+        group=group)
+    dtp_ref[0] = dtp_j
+    for ref, key in zip(
+            (dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref),
+            DSTASH_KEYS):
+        ref[0] = ds[key]
     dh_s[...] = dA
 
     @pl.when(j == num_layers - 1)
@@ -407,20 +645,30 @@ def build_pallas_train_stack(
     block_b_bwd: int = 16,
     group: int = 4,
     precision="bf16x3",
+    dropout: str = "masks",
     interpret: bool = False,
+    vmem_limit_bytes=None,   # raise Mosaic's 16 MB scoped-VMEM default
 ):
-    """Build ``stack_apply(weights, h0, tp, masks) → d5`` with a custom
-    VJP backed by the fused kernels.
+    """Build ``stack_apply(weights, h0, tp, masks_or_seed) → d5`` with a
+    custom VJP backed by the fused kernels.
 
     ``weights``: dict of stacked per-layer tensors (STACK_KEYS subset of
     ``_prep_weights`` output); ``h0``: [N, B, H] joint-major (cheb-input
-    output); ``tp``: [L, B, H]; ``masks``: dict of bf16 0/1 masks —
+    output); ``tp``: [L, B, H].
+
+    ``dropout="masks"``: the 4th arg is a dict of bf16 0/1 masks —
     ``probs_exp`` [L, N, N, B, H] (key-major, expanded over head dims) and
     ``attn_out/gnet_out/cheb1/cheb2`` [L, N, B, H].
+    ``dropout="prng"``: the 4th arg is a [1] int32 step seed; masks are
+    drawn inside the kernels (hardware-only; see module docstring).  For
+    validation, the returned function carries ``run_fwd_dump(w, h0, tp,
+    seed) → (d5, stashes, mask_dumps)`` where ``mask_dumps`` holds
+    ``probs_h`` [L,N,N,B,heads] plus ``m1..m4`` [L,N,B,H] (f32 0/1).
 
     Batch B must be a multiple of max(block_b_fwd, block_b_bwd) — the
     training batch (1024) is; the caller asserts.
     """
+    assert dropout in ("masks", "prng"), dropout
     n_pts = basis.shape[1]
     terms = _sparse_terms(np.asarray(basis, np.float64))
     terms_t = _terms_transposed(np.asarray(basis, np.float64))
@@ -433,6 +681,11 @@ def build_pallas_train_stack(
     seg_j, segt_j = jnp.asarray(seg), jnp.asarray(segt)
     L, H = num_layers, hid_dim
     f32 = jnp.float32
+    prng = dropout == "prng"
+    # mask chunk: the unit the PRNG streams are seeded on — the same masks
+    # come out of any tile size whose boundaries align on it
+    mtb = min(block_b_fwd, block_b_bwd)
+    stash_keys = PRNG_STASH_KEYS if prng else STASH_KEYS
 
     fwd_kernel = functools.partial(
         _stack_fwd_kernel, terms=terms, n_pts=n_pts, num_layers=L,
@@ -442,18 +695,16 @@ def build_pallas_train_stack(
         num_layers=L, num_heads=num_heads, h_dim=H, precision=precision,
         group=group)
 
-    def run_fwd(w, h0, tp, masks):
+    def run_fwd(w, h0, tp, masks_or_seed, dump=False):
         bsz = h0.shape[1]
         tb = min(block_b_fwd, bsz)
         assert bsz % tb == 0, (bsz, tb)
         grid = (bsz // tb, L)
         stash_shape = lambda wdt: jax.ShapeDtypeStruct((L, n_pts, bsz, wdt), f32)
+        stash_widths = {"r1": 2 * H}
         out_shapes = [
             jax.ShapeDtypeStruct((n_pts, bsz, H), f32),        # d5
-            stash_shape(H), stash_shape(H),                    # ha hb
-            stash_shape(H), stash_shape(H),                    # y1 att
-            stash_shape(2 * H),                                # r1
-            stash_shape(H), stash_shape(H),                    # rc1 rd1
+            *[stash_shape(stash_widths.get(k, H)) for k in stash_keys],
         ]
         stash_spec = lambda wdt: pl.BlockSpec(
             (1, n_pts, tb, wdt), lambda i, j: (j, 0, i, 0),
@@ -461,48 +712,82 @@ def build_pallas_train_stack(
         out_specs = [
             pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            stash_spec(H), stash_spec(H),
-            stash_spec(H), stash_spec(H),
-            stash_spec(2 * H),
-            stash_spec(H), stash_spec(H),
+            *[stash_spec(stash_widths.get(k, H)) for k in stash_keys],
         ]
-        in_specs = [
+        if dump:
+            assert prng
+            out_shapes += [
+                jax.ShapeDtypeStruct((L, n_pts, n_pts, bsz, num_heads), f32),
+                *[jax.ShapeDtypeStruct((L, n_pts, bsz, H), f32)] * 4,
+            ]
+            out_specs += [
+                pl.BlockSpec((1, n_pts, n_pts, tb, num_heads),
+                             lambda i, j: (j, 0, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                *[stash_spec(H)] * 4,
+            ]
+        weight_specs = [
+            _full_like(w[k].shape) if k in SMALL_KEYS
+            else _stacked(w[k].shape[1:])
+            for k in STACK_KEYS
+        ]
+        data_specs = [
             pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
                          memory_space=pltpu.VMEM),               # h0
             pl.BlockSpec((1, tb, H), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),               # tp
-            pl.BlockSpec((1, n_pts, n_pts, tb, H),
-                         lambda i, j: (j, 0, 0, i, 0),
-                         memory_space=pltpu.VMEM),               # probs mask
-            *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (j, 0, i, 0),
-                           memory_space=pltpu.VMEM)] * 4,        # m1..m4
-            *[
-                _full_like(w[k].shape) if k in SMALL_KEYS
-                else _stacked(w[k].shape[1:])
-                for k in STACK_KEYS
-            ],
-            _full_like(seg_j.shape), _full_like(segt_j.shape),
         ]
+        if prng:
+            kern = functools.partial(
+                _stack_fwd_kernel_prng, terms=terms, n_pts=n_pts,
+                num_layers=L, num_heads=num_heads, h_dim=H,
+                precision=precision, group=group, mtb=min(mtb, tb),
+                dump=dump)
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
+                *data_specs,
+                *weight_specs,
+                _full_like(seg_j.shape), _full_like(segt_j.shape),
+            ]
+            inputs = (masks_or_seed, h0, tp,
+                      *[w[k] for k in STACK_KEYS], seg_j, segt_j)
+        else:
+            kern = fwd_kernel
+            in_specs = [
+                *data_specs,
+                pl.BlockSpec((1, n_pts, n_pts, tb, H),
+                             lambda i, j: (j, 0, 0, i, 0),
+                             memory_space=pltpu.VMEM),           # probs mask
+                *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (j, 0, i, 0),
+                               memory_space=pltpu.VMEM)] * 4,    # m1..m4
+                *weight_specs,
+                _full_like(seg_j.shape), _full_like(segt_j.shape),
+            ]
+            masks = masks_or_seed
+            inputs = (h0, tp,
+                      masks["probs_exp"], masks["attn_out"],
+                      masks["gnet_out"], masks["cheb1"], masks["cheb2"],
+                      *[w[k] for k in STACK_KEYS], seg_j, segt_j)
         outs = pl.pallas_call(
-            fwd_kernel,
+            kern,
             grid=grid,
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((n_pts, tb, H), f32)],
             interpret=interpret,
-        )(
-            h0, tp,
-            masks["probs_exp"], masks["attn_out"], masks["gnet_out"],
-            masks["cheb1"], masks["cheb2"],
-            *[w[k] for k in STACK_KEYS],
-            seg_j, segt_j,
-        )
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(*inputs)
         d5 = outs[0]
-        stashes = dict(zip(STASH_KEYS, outs[1:]))
+        stashes = dict(zip(stash_keys, outs[1:1 + len(stash_keys)]))
+        if dump:
+            dumps = dict(zip(("probs_h", "m1", "m2", "m3", "m4"),
+                             outs[1 + len(stash_keys):]))
+            return d5, stashes, dumps
         return d5, stashes
 
-    def run_bwd(w, masks, stashes, dd5):
+    def run_bwd(w, masks_or_seed, stashes, dd5):
         bsz = dd5.shape[1]
         tb = min(block_b_bwd, bsz)
         assert bsz % tb == 0, (bsz, tb)
@@ -539,17 +824,12 @@ def build_pallas_train_stack(
         stash_spec_rev = lambda wdt: pl.BlockSpec(
             (1, n_pts, tb, wdt), lambda i, j: (rev(j), 0, i, 0),
             memory_space=pltpu.VMEM)
-        in_specs = [
-            pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),               # dd5
-            pl.BlockSpec((1, n_pts, n_pts, tb, H),
-                         lambda i, j: (rev(j), 0, 0, i, 0),
-                         memory_space=pltpu.VMEM),               # probs mask
-            *[pl.BlockSpec((1, n_pts, tb, H), lambda i, j: (rev(j), 0, i, 0),
-                           memory_space=pltpu.VMEM)] * 4,        # m1..m4
+        stash_specs = [
             stash_spec_rev(H), stash_spec_rev(H),                # ha hb
             stash_spec_rev(H), stash_spec_rev(2 * H),            # y1 r1
             stash_spec_rev(H), stash_spec_rev(H),                # rc1 rd1
+        ]
+        weight_specs = [
             _full_like(w["ln1s"].shape),
             _full_like(w["ln2s"].shape),
             _stacked_rev(w["wqkv"].shape[1:], L),
@@ -561,35 +841,68 @@ def build_pallas_train_stack(
             _stacked_rev(wt["wg1t"].shape[1:], L),
             _stacked_rev(wt["wg2t"].shape[1:], L),
             _full_like(w["bqkv"].shape),
-            _full_like(seg_j.shape), _full_like(segt_j.shape),
         ]
+        stash_inputs = (stashes["ha"], stashes["hb"], stashes["y1"],
+                        stashes["r1"], stashes["rc1"], stashes["rd1"])
+        weight_inputs = (
+            w["ln1s"], w["ln2s"], w["wqkv"], wt["wqkvt"], wt["waot"],
+            w["lap"], wt["wfc1t"], wt["wfc2t"], wt["wg1t"], wt["wg2t"],
+            w["bqkv"])
+        dd5_spec = pl.BlockSpec((n_pts, tb, H), lambda i, j: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        if prng:
+            kern = functools.partial(
+                _stack_bwd_kernel_prng, terms=terms, terms_t=terms_t,
+                n_pts=n_pts, num_layers=L, num_heads=num_heads, h_dim=H,
+                precision=precision, group=group, mtb=min(mtb, tb))
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
+                dd5_spec, *stash_specs, *weight_specs,
+                _full_like(seg_j.shape), _full_like(segt_j.shape),
+            ]
+            inputs = (masks_or_seed, dd5, *stash_inputs, *weight_inputs,
+                      seg_j, segt_j)
+        else:
+            kern = bwd_kernel
+            in_specs = [
+                dd5_spec,
+                pl.BlockSpec((1, n_pts, n_pts, tb, H),
+                             lambda i, j: (rev(j), 0, 0, i, 0),
+                             memory_space=pltpu.VMEM),           # probs mask
+                *[pl.BlockSpec((1, n_pts, tb, H),
+                               lambda i, j: (rev(j), 0, i, 0),
+                               memory_space=pltpu.VMEM)] * 4,    # m1..m4
+                *stash_specs, *weight_specs,
+                _full_like(seg_j.shape), _full_like(segt_j.shape),
+            ]
+            masks = masks_or_seed
+            inputs = (dd5,
+                      masks["probs_exp"], masks["attn_out"],
+                      masks["gnet_out"], masks["cheb1"], masks["cheb2"],
+                      *stash_inputs, *weight_inputs, seg_j, segt_j)
         outs = pl.pallas_call(
-            bwd_kernel,
+            kern,
             grid=grid,
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((n_pts, tb, H), f32)],
             interpret=interpret,
-        )(
-            dd5,
-            masks["probs_exp"], masks["attn_out"], masks["gnet_out"],
-            masks["cheb1"], masks["cheb2"],
-            stashes["ha"], stashes["hb"], stashes["y1"], stashes["r1"],
-            stashes["rc1"], stashes["rd1"],
-            w["ln1s"], w["ln2s"], w["wqkv"], wt["wqkvt"], wt["waot"],
-            w["lap"], wt["wfc1t"], wt["wfc2t"], wt["wg1t"], wt["wg2t"],
-            w["bqkv"],
-            seg_j, segt_j,
-        )
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(*inputs)
         da0, dtp = outs[0], outs[1]
         dstashes = dict(zip(DSTASH_KEYS, outs[2:]))
         return da0, dtp, dstashes
 
     basis_j = jnp.asarray(basis, f32)
 
-    def weight_grads(w, masks, stashes, dstashes):
-        """Every weight gradient as big XLA GEMMs over the stashes."""
+    def weight_grads(w, masks, stashes, dstashes, tp):
+        """Every weight gradient as big XLA GEMMs over the stashes.
+
+        ``masks`` is None in prng mode — ``hc`` and ``u`` come stashed
+        from the forward kernel instead of being recomputed from masks.
+        """
         ds = dstashes
         st = stashes
         ein = lambda a, b: jnp.einsum("lnbc,lnbd->lcd", a, b)
@@ -605,11 +918,15 @@ def build_pallas_train_stack(
         # recompute the un-stashed intermediates (cheap XLA GEMMs)
         g1 = jnp.einsum("lnm,lmbc->lnbc", w["lap"], y2)
         g2 = jnp.einsum("lnm,lmbc->lnbc", w["lap"], st["r1"])
-        f2 = jnp.einsum("lnbc,lcd->lnbd", g2, w["wfc2"]) + w["bfc2"][:, None, None]
-        hc = st["hb"] + f2 * (masks["gnet_out"].astype(f32) * IKS)
-        u = st["rc1"] * (masks["cheb1"].astype(f32) * IKC)  # + tp (dW-irrelevant? no!)
-        # u = rc1·M3·ikc + tp — tp enters the cheb2 input, so dWg2 needs it
-        # (added by caller via closure-free arg below)
+        if "hc" in st:       # prng mode: stashed by the forward kernel
+            hc = st["hc"]
+            u = st["u"]      # includes +tp already
+        else:
+            f2 = jnp.einsum("lnbc,lcd->lnbd", g2, w["wfc2"]) \
+                + w["bfc2"][:, None, None]
+            hc = st["hb"] + f2 * (masks["gnet_out"].astype(f32) * IKS)
+            # u = rc1·M3·ikc + tp — tp enters the cheb2 input
+            u = st["rc1"] * (masks["cheb1"].astype(f32) * IKC) + tp[:, None]
         xk = lambda z: jnp.einsum("knm,lmbc->lknbc", basis_j, z)
         dwg = lambda z, d: jnp.einsum("lknbc,lnbd->lkcd", xk(z), d)
         dg1 = jnp.einsum("lnbd,lcd->lnbc", ds["df1"], w["wfc1"])
@@ -634,32 +951,39 @@ def build_pallas_train_stack(
             "bfc2": jnp.sum(ds["df2"], axis=(1, 2)),
             "wg1": dwg(hc, ds["dc1"]),
             "bg1": jnp.sum(ds["dc1"], axis=(1, 2)),
+            "wg2": dwg(u, ds["dc2"]),
             "bg2": jnp.sum(ds["dc2"], axis=(1, 2)),
         }
-        return grads, u
+        return grads
 
     @jax.custom_vjp
-    def stack_apply(w, h0, tp, masks):
-        d5, _ = run_fwd(w, h0, tp, masks)
+    def stack_apply(w, h0, tp, masks_or_seed):
+        d5, _ = run_fwd(w, h0, tp, masks_or_seed)
         return d5
 
-    def vjp_fwd(w, h0, tp, masks):
-        d5, stashes = run_fwd(w, h0, tp, masks)
-        return d5, (w, tp, masks, stashes)
+    def vjp_fwd(w, h0, tp, masks_or_seed):
+        d5, stashes = run_fwd(w, h0, tp, masks_or_seed)
+        return d5, (w, tp, masks_or_seed, stashes)
 
     def vjp_bwd(res, dd5):
-        w, tp, masks, stashes = res
-        da0, dtp, dstashes = run_bwd(w, masks, stashes, dd5)
-        grads, u = weight_grads(w, masks, stashes, dstashes)
-        u = u + tp[:, None]
-        grads["wg2"] = jnp.einsum(
-            "lknbc,lnbd->lkcd",
-            jnp.einsum("knm,lmbc->lknbc", basis_j, u), dstashes["dc2"])
-        dmasks = jax.tree_util.tree_map(jnp.zeros_like, masks)
+        w, tp, masks_or_seed, stashes = res
+        da0, dtp, dstashes = run_bwd(w, masks_or_seed, stashes, dd5)
+        masks = None if prng else masks_or_seed
+        grads = weight_grads(w, masks, stashes, dstashes, tp)
+        if prng:
+            dmos = np.zeros(masks_or_seed.shape, dtype=jax.dtypes.float0)
+        else:
+            dmos = jax.tree_util.tree_map(jnp.zeros_like, masks_or_seed)
         dw = {k: grads[k] for k in STACK_KEYS}
-        return dw, da0, dtp, dmasks
+        return dw, da0, dtp, dmos
 
     stack_apply.defvjp(vjp_fwd, vjp_bwd)
+    stack_apply.run_fwd_dump = functools.partial(run_fwd, dump=True) \
+        if prng else None
+    # raw kernel entry points for validation probes (hardware cross-checks
+    # of the prng mask regeneration against the masks kernels)
+    stack_apply.run_fwd = run_fwd
+    stack_apply.run_bwd = run_bwd
     return stack_apply
 
 
@@ -685,7 +1009,7 @@ def fused_train_forward(
     basis: np.ndarray,
     x: Array,
     t: Array,
-    masks,
+    masks_or_seed,
     stack_fn,
     *,
     num_layers: int = 5,
@@ -697,11 +1021,13 @@ def fused_train_forward(
     Differentiable wrt ``params`` end-to-end: weight prep, timestep MLP
     and input/output ChebConv run in XLA (autodiffed); the 5-layer stack
     runs through ``stack_fn`` (from :func:`build_pallas_train_stack`,
-    custom VJP).  ``masks``: a ``train_ref.DropoutMasks``.
+    custom VJP).  ``masks_or_seed``: a ``train_ref.DropoutMasks`` (masks
+    mode) or a [1] int32 step seed (prng mode).
     """
     from flax import linen as nn
 
     from diffpose_tpu.models.layers import timestep_embedding
+    from diffpose_tpu.ops.train_ref import DropoutMasks
     from diffpose_tpu.ops.train_ref import _cheb as _cheb_xla
 
     weights, _, _, _ = _prep_weights(params, basis, num_layers, num_heads, hid_dim)
@@ -723,7 +1049,9 @@ def fused_train_forward(
     xj = jnp.transpose(x.astype(f32), (1, 0, 2))
     h0 = _cheb_xla(xj, weights["win"], weights["bin_"], bas)
     w_stack = {k: weights[k] for k in STACK_KEYS}
-    d5 = stack_fn(w_stack, h0, tp, kernel_masks(masks, hid_dim // num_heads))
+    if isinstance(masks_or_seed, DropoutMasks):
+        masks_or_seed = kernel_masks(masks_or_seed, hid_dim // num_heads)
+    d5 = stack_fn(w_stack, h0, tp, masks_or_seed)
     out = _cheb_xla(d5, weights["wout"], weights["bout"], bas)
     return jnp.transpose(out, (1, 0, 2))
 
@@ -742,7 +1070,9 @@ def make_pallas_train_step(
     block_b_bwd: int = 16,
     group: int = 4,
     precision="bf16x3",
+    dropout: str = "masks",
     interpret: bool = False,
+    vmem_limit_bytes=None,
     axis_name=None,
 ):
     """Fused-kernel drop-in for ``train.steps.make_train_step``.
@@ -750,9 +1080,11 @@ def make_pallas_train_step(
     Same step semantics (GMM draw → antithetic t → q-sample → ε-MSE →
     Adam → EMA, reference ``runners/diffpose_frame.py:203-236``); the
     denoiser fwd+bwd runs through the Pallas kernel pair.  Dropout is
-    statistically identical to the module path (explicit masks with flax
-    semantics; the RNG stream differs, as it may).  The attention
-    ``src_mask`` is the production all-ones and is compiled out.
+    statistically identical to the module path (``dropout="masks"``:
+    explicit masks with flax semantics; ``dropout="prng"``: drawn
+    in-kernel from the TPU PRNG — hardware-only); the RNG stream differs,
+    as it may.  The attention ``src_mask`` is the production all-ones and
+    is compiled out.
 
     ``axis_name``: set when the step runs inside ``shard_map`` — per-shard
     randomness decorrelates via key folding and grads/loss ``pmean`` over
@@ -767,10 +1099,12 @@ def make_pallas_train_step(
     from diffpose_tpu.ops.train_ref import make_dropout_masks
 
     num_timesteps = len(betas)
+    prng = dropout == "prng"
     stack_fn = build_pallas_train_stack(
         basis, num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
         block_b_fwd=block_b_fwd, block_b_bwd=block_b_bwd, group=group,
-        precision=precision, interpret=interpret,
+        precision=precision, dropout=dropout, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes,
     )
 
     def train_step(state, batch: dict, key: Array):
@@ -784,14 +1118,20 @@ def make_pallas_train_step(
         t = antithetic_timesteps(k_t, n, num_timesteps)
         e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
         x_t = q_sample(uvxyz, t, e, betas)
-        masks = make_dropout_masks(
-            k_drop, num_layers=num_layers, n_pts=n_pts, batch=n,
-            num_heads=num_heads, hid_dim=hid_dim,
-        )
+        if prng:
+            masks_or_seed = jax.random.randint(
+                k_drop, (1,), jnp.iinfo(jnp.int32).min,
+                jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            masks_or_seed = make_dropout_masks(
+                k_drop, num_layers=num_layers, n_pts=n_pts, batch=n,
+                num_heads=num_heads, hid_dim=hid_dim,
+            )
 
         def loss_fn(params):
             eps = fused_train_forward(
-                params, basis, x_t, t.astype(jnp.float32), masks, stack_fn,
+                params, basis, x_t, t.astype(jnp.float32), masks_or_seed,
+                stack_fn,
                 num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
             )
             return jnp.mean(jnp.sum((e - eps) ** 2, axis=(1, 2)))

@@ -59,6 +59,7 @@ class DiffposeRunner:
         train_sweep: int = 1,
         denoiser_impl: str = "module",  # "module" | "pallas"
         train_impl: str = "module",     # "module" | "pallas"
+        dropout_impl: str = "masks",    # "masks" | "prng" (pallas train only)
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
     ):
@@ -83,6 +84,11 @@ class DiffposeRunner:
         self.train_sweep = train_sweep
         self.denoiser_impl = denoiser_impl
         self.train_impl = train_impl
+        # pallas-train dropout: "masks" (explicit bf16 masks drawn in XLA,
+        # works everywhere) or "prng" (drawn inside the kernels from the
+        # TPU per-core PRNG — no mask HBM traffic; hardware-only, falls
+        # back to masks off-TPU)
+        self.dropout_impl = dropout_impl
         # TPU default matmuls run single-pass bf16, which costs >1 mm P1 on
         # this model (measured, docs/PERF.md) — eval defaults to true-f32
         # passes; set "default" to trade ~0.7 mm for speed.  Training
@@ -221,6 +227,33 @@ class DiffposeRunner:
             process_index=jax.process_index(),
         )
 
+    def _pallas_step_kwargs(self, *, in_sweep: bool) -> dict:
+        """Kernel config for make_pallas_train_step at this runner's batch.
+
+        Standalone steps run fastest at tiles (64, 32) with whole-row
+        attention (group 17) — 15.49 ms/step at b=1024 (docs/PERF.md).
+        Inside a train-sweep ``lax.scan`` the same tiles exceed the 16 MB
+        scoped-VMEM budget (the scan body costs ~6 MB of headroom), so the
+        sweep path uses the smaller (16, 16, group 4) tiling.  ``prng``
+        dropout needs real TPU PRNG hardware; off-TPU the step falls back
+        to explicit masks (the interpret path).
+        """
+        interpret = jax.default_backend() != "tpu"
+        dropout = self.dropout_impl
+        if dropout == "prng" and interpret:
+            logger.warning(
+                "--dropout_impl prng needs TPU hardware (Mosaic interpret "
+                "mode has no PRNG); using explicit masks")
+            dropout = "masks"
+        b = self.config.training.batch_size
+        if in_sweep:
+            blocks = dict(block_b_fwd=16, block_b_bwd=16, group=4)
+        elif b % 64 == 0:
+            blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17)
+        else:
+            blocks = dict(block_b_fwd=16, block_b_bwd=16, group=4)
+        return dict(interpret=interpret, dropout=dropout, **blocks)
+
     def _build_train_step(self, steps_per_epoch: int):
         o = self.config.optim
         optimizer = make_optimizer(
@@ -246,7 +279,7 @@ class DiffposeRunner:
                     num_layers=m.num_layer, num_heads=m.n_head,
                     hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
                     axis_name="data",
-                    interpret=jax.default_backend() != "tpu",
+                    **self._pallas_step_kwargs(in_sweep=False),
                 )
             step_fn = make_sharded_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
@@ -268,7 +301,7 @@ class DiffposeRunner:
                     num_layers=m.num_layer, num_heads=m.n_head,
                     hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
                     # off-TPU (CPU smoke runs) the kernels run interpreted
-                    interpret=jax.default_backend() != "tpu",
+                    **self._pallas_step_kwargs(in_sweep=False),
                 ),
                 donate_argnums=(0,),
             )
@@ -371,7 +404,7 @@ class DiffposeRunner:
                         optimizer, self.betas, self.basis,
                         num_layers=m.num_layer, num_heads=m.n_head,
                         hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
-                        interpret=jax.default_backend() != "tpu",
+                        **self._pallas_step_kwargs(in_sweep=True),
                     )
 
                 def build_sweep(n):

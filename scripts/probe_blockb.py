@@ -7,7 +7,10 @@ count regardless of tile width) at the cost of VMEM; this measures where
 the knee is, plus whether merging the 8-batch sweep into one kernel
 launch beats ``lax.map`` over batches.
 
-Usage: python scripts/probe_blockb.py [iters]
+Usage: python scripts/probe_blockb.py [iters] [--vmem=MB] [--blocks=128,256]
+
+``--vmem``: raise Mosaic's scoped-VMEM limit (default 16 MB; v5e has
+128 MB/core) — block_b=256 needs ~24 MB, 512 ~47 MB.
 """
 
 from __future__ import annotations
@@ -32,7 +35,11 @@ SEQ = (0, 12)
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 25
+    vmem_mb = next((int(a[7:]) for a in sys.argv if a.startswith("--vmem=")), 0)
+    blocks = next((tuple(int(b) for b in a[9:].split(","))
+                   for a in sys.argv if a.startswith("--blocks=")),
+                  (128, 256, 512))
 
     basis = cheb_basis_from_edges(17, H36M_EDGES, order=2)
     betas = get_beta_schedule(
@@ -48,11 +55,12 @@ def main():
     xm = x.reshape(NB * B, 17, 2)
 
     with jax.default_matmul_precision("float32"):
-        for block_b in (128, 256, 512):
+        for block_b in blocks:
             eval_one = make_pallas_eval(
                 params_pose, params_diff, basis,
                 seq=SEQ, betas=betas, test_times=1,
                 block_b=block_b, precision="bf16x3",
+                vmem_limit_bytes=vmem_mb * 2**20 or None,
             )
             sweep = jax.jit(lambda xs, f=eval_one: jax.lax.map(f, xs))
             t0 = time.perf_counter()

@@ -1,6 +1,6 @@
 """Hardware timing: fused Pallas train step vs the XLA train step.
 
-Usage: python scripts/probe_train_kernel.py [iters] [--bf=F] [--bb=B] [--grp=G]
+Usage: probe_train_kernel.py [iters] [--bf=F --bb=B --grp=G --sweep=N --vmem=MB]
 
 Baselines measured earlier (scripts/probe_train.py, b=1024, device-resident
 batch, donated state): XLA float32 22.50 ms, XLA BF16_BF16_F32_X3 19.89 ms.
@@ -34,6 +34,7 @@ def main():
     bf = next((int(a[5:]) for a in sys.argv if a.startswith("--bf=")), 64)
     bb = next((int(a[5:]) for a in sys.argv if a.startswith("--bb=")), 32)
     grp = next((int(a[6:]) for a in sys.argv if a.startswith("--grp=")), 17)
+    vmem_mb = next((int(a[7:]) for a in sys.argv if a.startswith("--vmem=")), 0)
 
     if "--nomask" in sys.argv:
         # constant keep-everything masks: isolates the dropout-RNG cost
@@ -70,11 +71,52 @@ def main():
         "poses_2d_gmm": jax.device_put(jnp.asarray(pool2d)),
     }
 
+    sweep = next((int(a[8:]) for a in sys.argv if a.startswith("--sweep=")), 0)
+
     step = make_pallas_train_step(
         opt, betas, basis, block_b_fwd=bf, block_b_bwd=bb, group=grp,
-        precision="bf16x3")
-    step_j = jax.jit(step, donate_argnums=(0,))
+        precision="bf16x3", vmem_limit_bytes=vmem_mb * 2**20 or None)
     key = jax.random.PRNGKey(1)
+
+    if sweep:
+        # Production composition: the pallas step inside make_train_sweep_step's
+        # lax.scan over a device-resident dataset (what `--train_sweep N
+        # --train_impl pallas` runs in the trainer).
+        from diffpose_tpu.train.steps import make_train_sweep_step
+
+        n_pool = 4096
+        p2 = rng.normal(size=(n_pool, 17, 5, 5)).astype(np.float32)
+        p2[..., 0] = np.abs(p2[..., 0]) + 0.5
+        p2[..., 3:5] = np.abs(p2[..., 3:5]) * 0.01 + 1e-3
+        data = {
+            "poses_3d": jax.device_put(jnp.asarray(
+                rng.normal(size=(n_pool, 17, 3)).astype(np.float32))),
+            "poses_2d_gmm": jax.device_put(jnp.asarray(p2)),
+        }
+
+        sweep_step = make_train_sweep_step(
+            None, opt, betas, sweep=sweep,
+            base_step=lambda st, bt, k: step(st, bt, k))
+        step_j = jax.jit(sweep_step, donate_argnums=(0,))
+        idx = jnp.asarray(
+            rng.integers(0, n_pool, size=(sweep, B)), jnp.int32)
+
+        t0 = time.perf_counter()
+        state, m = step_j(state, data, idx, key)
+        jax.block_until_ready(m["loss"])
+        print(f"compile {time.perf_counter()-t0:.0f}s  "
+              f"first loss {float(m['loss'][-1]):.4f}", flush=True)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step_j(state, data, idx, jax.random.fold_in(key, i))
+        jax.block_until_ready(m["loss"])
+        ms = (time.perf_counter() - t0) / (iters * sweep) * 1e3
+        print(f"fused train SWEEP (sweep={sweep} bf={bf} bb={bb} grp={grp}): "
+              f"{ms:7.2f} ms/step ({B/ms*1e3:,.0f} frames/s)  "
+              f"loss {float(m['loss'][-1]):.4f}", flush=True)
+        return
+
+    step_j = jax.jit(step, donate_argnums=(0,))
 
     t0 = time.perf_counter()
     state, m = step_j(state, batch, key)

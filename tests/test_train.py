@@ -157,3 +157,29 @@ def test_epoch_indices_match_epoch_gather():
     for idx, batch in zip(loader.epoch_indices(2), loader.epoch(2)):
         np.testing.assert_array_equal(ds.poses_3d[idx], batch["poses_3d"])
         np.testing.assert_array_equal(ds.poses_2d_gmm[idx], batch["poses_2d_gmm"])
+
+
+def test_pallas_step_kwargs_selection():
+    """Tile selection + prng→masks fallback off-TPU (trainer._pallas_step_kwargs)."""
+    import types
+
+    from diffpose_tpu.train.trainer import DiffposeRunner
+
+    def stub(batch_size, dropout_impl):
+        return types.SimpleNamespace(
+            dropout_impl=dropout_impl,
+            config=types.SimpleNamespace(
+                training=types.SimpleNamespace(batch_size=batch_size)),
+        )
+
+    kw = DiffposeRunner._pallas_step_kwargs(stub(1024, "masks"), in_sweep=False)
+    assert (kw["block_b_fwd"], kw["block_b_bwd"], kw["group"]) == (64, 32, 17)
+    kw = DiffposeRunner._pallas_step_kwargs(stub(1024, "masks"), in_sweep=True)
+    assert (kw["block_b_fwd"], kw["block_b_bwd"], kw["group"]) == (16, 16, 4)
+    kw = DiffposeRunner._pallas_step_kwargs(stub(48, "masks"), in_sweep=False)
+    assert kw["block_b_fwd"] == 16
+    # prng needs real TPU PRNG hardware — CPU runs fall back to masks
+    kw = DiffposeRunner._pallas_step_kwargs(stub(1024, "prng"), in_sweep=False)
+    import jax
+    expect = "prng" if jax.default_backend() == "tpu" else "masks"
+    assert kw["dropout"] == expect
