@@ -137,26 +137,37 @@ def _lap_mix(lap_ref, layer, z, n_pts):
 def _net_kernel(
     x_ref, *refs,
     terms, n_pts, num_layers, num_heads, h_dim, precision, has_temb,
+    group=1, has_io=True,
 ):
-    """GraFormer backbone forward (GCNDiff with temb, GCNPose without)."""
+    """GraFormer backbone forward (GCNDiff with temb, GCNPose without).
+
+    ``has_io=False`` drops the input/output ChebConvs: the kernel maps the
+    hidden stream ``[N, TB, H] → [N, TB, H]`` through the layer stack only —
+    the IGCN fixed-point function's hot body (``models/igcn.py:_stack``).
+    """
     if has_temb:
         tp_ref, *rest = refs
     else:
         tp_ref, rest = None, list(refs)
-    (win_ref, bin_ref,
-     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+    if has_io:
+        win_ref, bin_ref, *rest = rest
+    (ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
      wqkv_ref, bqkv_ref, wao_ref, bao_ref,
      lap_ref,
      wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
      wg1_ref, bg1_ref, wg2_ref, bg2_ref,
-     wout_ref, bout_ref,
-     seg_ref, segt_ref,
-     o_ref) = rest
+     *rest) = rest
+    if has_io:
+        wout_ref, bout_ref, *rest = rest
+    (seg_ref, segt_ref, o_ref) = rest
     tb = x_ref.shape[1]
     seg_c = seg_ref[...]      # [H, heads], holds 1/sqrt(dk)
     segt_c = segt_ref[...]    # [heads, H]
 
-    h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts, precision)
+    if has_io:
+        h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts, precision)
+    else:
+        h = x_ref[...]
 
     for l in range(num_layers):
         # ---- attention sublayer ----
@@ -167,18 +178,23 @@ def _net_kernel(
         k = qkv[..., h_dim:2 * h_dim]
         v = qkv[..., 2 * h_dim:]
 
+        # Query-grouped attention: `group` query joints share each pair of
+        # segment GEMMs (same MXU row count either way; fewer, longer GEMMs
+        # and one softmax per group — costs `group`× the [Nk,·,TB,H] score
+        # buffer in VMEM, so big groups need a raised vmem_limit_bytes).
         att_rows = []
-        for n in range(n_pts):
-            p = q[n:n + 1] * k                                    # [17, TB, H]
-            s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
-            s = s.reshape(n_pts, tb, num_heads)                   # scores over keys
+        for g0 in range(0, n_pts, group):
+            g = min(group, n_pts - g0)
+            p = k[:, None] * q[g0:g0 + g][None]                   # [Nk, g, TB, H]
+            s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
+            s = s.reshape(n_pts, g, tb, num_heads)                # scores over keys
             smax = jnp.max(s, axis=0, keepdims=True)
             e = jnp.exp(s - smax)
             probs = e / jnp.sum(e, axis=0, keepdims=True)
-            w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c, precision)
-            w = w.reshape(n_pts, tb, h_dim)
-            att_rows.append(jnp.sum(w * v, axis=0))               # [TB, H]
-        att = jnp.stack(att_rows)
+            w = _dot_exact_w(probs.reshape(-1, num_heads), segt_c, precision)
+            w = w.reshape(n_pts, g, tb, h_dim)
+            att_rows.append(jnp.sum(w * v[:, None], axis=0))      # [g, TB, H]
+        att = jnp.concatenate(att_rows, axis=0)
         att = (
             _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
         ).reshape(n_pts, tb, h_dim)
@@ -203,7 +219,10 @@ def _net_kernel(
         u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
         h = h + u
 
-    o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts, precision)
+    if has_io:
+        o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts, precision)
+    else:
+        o_ref[...] = h
 
 
 def _prep_weights(params, basis, num_layers, num_heads, hid_dim):
@@ -296,6 +315,7 @@ def make_pallas_denoiser(
     interpret: bool = False,
     precision=None,
     vmem_limit_bytes=None,  # raise Mosaic's 16 MB scoped-VMEM default
+    group: int = 1,          # query joints per attention segment GEMM
 ):
     """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
 
@@ -321,7 +341,7 @@ def make_pallas_denoiser(
         _net_kernel,
         terms=terms, n_pts=n_pts, num_layers=num_layers,
         num_heads=num_heads, h_dim=hid_dim, precision=precision,
-        has_temb=True,
+        has_temb=True, group=group,
     )
 
     c_in = params["gconv_input"]["w"].shape[1]
@@ -371,6 +391,75 @@ def make_pallas_denoiser(
     return fn
 
 
+# Backbone weight order (no input/output convs) for make_pallas_backbone.
+_W_ORDER_BACKBONE = tuple(
+    k for k in _W_ORDER if k not in ("win", "bin_", "wout", "bout"))
+
+
+def make_pallas_backbone(
+    params: Dict[str, Any],
+    basis: np.ndarray,
+    *,
+    num_layers: int = 5,
+    num_heads: int = 4,
+    hid_dim: int = 96,
+    block_b: int = 128,
+    interpret: bool = False,
+    precision=None,
+    vmem_limit_bytes=None,
+    group: int = 1,
+):
+    """Build ``fn(z [B,N,H], tp [L,B,H]) → stack(z) [B,N,H]`` — the bare
+    5-layer GraAttenLayer+ResChebGCDiff stack as one kernel (no in/out
+    convs, no BatchNorm).  This is the hot body of the IGCN fixed-point
+    function f(z) (reference ``models/igcn.py:_stack``; the surrounding
+    BatchNorm and solver mixing are cheap elementwise/XLA math).
+    """
+    n_pts = basis.shape[1]
+    weights, terms, seg_j, segt_j = _prep_weights(
+        params, basis, num_layers, num_heads, hid_dim)
+
+    kernel = functools.partial(
+        _net_kernel,
+        terms=terms, n_pts=n_pts, num_layers=num_layers,
+        num_heads=num_heads, h_dim=hid_dim, precision=precision,
+        has_temb=True, group=group, has_io=False,
+    )
+
+    w_args = [weights[k] for k in _W_ORDER_BACKBONE]
+    w_specs = [_full_spec(w.shape) for w in w_args]
+    f32 = jnp.float32
+
+    def fn(z: Array, tp: Array) -> Array:
+        bsz = z.shape[0]
+        bb = min(block_b, bsz)
+        pad = (-bsz) % bb
+        if pad:
+            z = jnp.pad(z, ((0, pad), (0, 0), (0, 0)))
+            tp = jnp.pad(tp, ((0, 0), (0, pad), (0, 0)))
+        bp = bsz + pad
+        zj = jnp.transpose(z.astype(f32), (1, 0, 2))  # [N, B, H]
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pts, bp, hid_dim), f32),
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((n_pts, bb, hid_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_layers, bb, hid_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+                *w_specs,
+                _full_spec(seg_j.shape), _full_spec(segt_j.shape),
+            ],
+            out_specs=pl.BlockSpec((n_pts, bb, hid_dim), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(zj, tp, *w_args, seg_j, segt_j)
+        out = jnp.transpose(out, (1, 0, 2))
+        return out[:bsz] if pad else out
+
+    return fn
+
+
 def make_pallas_lifter(
     params: Dict[str, Any],
     basis: np.ndarray,
@@ -382,6 +471,7 @@ def make_pallas_lifter(
     interpret: bool = False,
     precision=None,
     vmem_limit_bytes=None,
+    group: int = 1,
 ):
     """Build ``fn(x2d) → xyz`` — GCNPose forward as one Pallas kernel.
 
@@ -396,7 +486,7 @@ def make_pallas_lifter(
         _net_kernel,
         terms=terms, n_pts=n_pts, num_layers=num_layers,
         num_heads=num_heads, h_dim=hid_dim, precision=precision,
-        has_temb=False,
+        has_temb=False, group=group,
     )
 
     c_in = params["gconv_input"]["w"].shape[1]

@@ -45,6 +45,7 @@ def make_pallas_eval(
     hid_dim: int = 96,
     interpret: bool = False,
     vmem_limit_bytes=None,
+    group: int = 1,
 ):
     """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` (root-relative mean
     over ``test_times`` hypotheses), the fused-kernel equivalent of the
@@ -55,7 +56,7 @@ def make_pallas_eval(
     kw = dict(
         num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
         block_b=block_b, precision=precision, interpret=interpret,
-        vmem_limit_bytes=vmem_limit_bytes,
+        vmem_limit_bytes=vmem_limit_bytes, group=group,
     )
     lift = make_pallas_lifter(params_pose, basis, **kw)
     denoise = make_pallas_denoiser(params_diff, basis, **kw)

@@ -8,6 +8,7 @@ the knee is, plus whether merging the 8-batch sweep into one kernel
 launch beats ``lax.map`` over batches.
 
 Usage: python scripts/probe_blockb.py [iters] [--vmem=MB] [--blocks=128,256]
+                                      [--group=1]
 
 ``--vmem``: raise Mosaic's scoped-VMEM limit (default 16 MB; v5e has
 128 MB/core) — block_b=256 needs ~24 MB, 512 ~47 MB.
@@ -40,6 +41,7 @@ def main():
     blocks = next((tuple(int(b) for b in a[9:].split(","))
                    for a in sys.argv if a.startswith("--blocks=")),
                   (128, 256, 512))
+    group = next((int(a[8:]) for a in sys.argv if a.startswith("--group=")), 1)
 
     basis = cheb_basis_from_edges(17, H36M_EDGES, order=2)
     betas = get_beta_schedule(
@@ -59,13 +61,13 @@ def main():
             eval_one = make_pallas_eval(
                 params_pose, params_diff, basis,
                 seq=SEQ, betas=betas, test_times=1,
-                block_b=block_b, precision="bf16x3",
+                block_b=block_b, precision="bf16x3", group=group,
                 vmem_limit_bytes=vmem_mb * 2**20 or None,
             )
             sweep = jax.jit(lambda xs, f=eval_one: jax.lax.map(f, xs))
             t0 = time.perf_counter()
             sweep(x).block_until_ready()
-            print(f"block_b={block_b:4d} sweep   compile {time.perf_counter()-t0:6.1f}s",
+            print(f"block_b={block_b:4d} g={group:2d} sweep   compile {time.perf_counter()-t0:6.1f}s",
                   flush=True)
             t0 = time.perf_counter()
             for _ in range(iters):
@@ -73,13 +75,13 @@ def main():
             out.block_until_ready()
             dt = time.perf_counter() - t0
             fps = NB * B * iters / dt
-            print(f"block_b={block_b:4d} sweep   {dt/iters*1e3:7.2f} ms/sweep "
+            print(f"block_b={block_b:4d} g={group:2d} sweep   {dt/iters*1e3:7.2f} ms/sweep "
                   f"({fps:,.0f} frames/s)", flush=True)
 
             merged = jax.jit(eval_one)
             t0 = time.perf_counter()
             merged(xm).block_until_ready()
-            print(f"block_b={block_b:4d} merged  compile {time.perf_counter()-t0:6.1f}s",
+            print(f"block_b={block_b:4d} g={group:2d} merged  compile {time.perf_counter()-t0:6.1f}s",
                   flush=True)
             t0 = time.perf_counter()
             for _ in range(iters):
@@ -87,7 +89,7 @@ def main():
             out.block_until_ready()
             dt = time.perf_counter() - t0
             fps = NB * B * iters / dt
-            print(f"block_b={block_b:4d} merged  {dt/iters*1e3:7.2f} ms/call  "
+            print(f"block_b={block_b:4d} g={group:2d} merged  {dt/iters*1e3:7.2f} ms/call  "
                   f"({fps:,.0f} frames/s)", flush=True)
 
 

@@ -26,6 +26,22 @@ def test_pallas_denoiser_matches_module(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
 
 
+def test_pallas_denoiser_grouped_attention(rng):
+    """Query-grouped attention (group>1, incl. non-divisor) is exact."""
+    model = GCNDiff(basis=BASIS)
+    params = model.init(
+        {"params": jax.random.PRNGKey(2)}, jnp.zeros((2, 17, 5)), jnp.zeros((2,))
+    )["params"]
+    x = jnp.asarray(rng.normal(size=(8, 17, 5)).astype(np.float32))
+    t = jnp.asarray(np.linspace(0, 50, 8).astype(np.float32))
+    want = model.apply({"params": params}, x, t, jnp.ones((1, 1, 17)))
+    for group in (4, 17):
+        fn = make_pallas_denoiser(
+            params, BASIS, block_b=8, interpret=True, group=group)
+        np.testing.assert_allclose(
+            np.asarray(fn(x, t)), np.asarray(want), atol=5e-5)
+
+
 def test_pallas_denoiser_small_config(rng):
     model = GCNDiff(basis=BASIS, hid_dim=32, num_layers=2, num_heads=4)
     params = model.init(
