@@ -1,0 +1,220 @@
+"""Fused Pallas implicit (IGCN) inference: fixed-point solve with the
+5-layer backbone running as ONE whole-network kernel per iteration.
+
+The implicit model's eval forward is a fixed-point solve ``z* = f(z*)``
+where ``f(z) = BatchNorm(stack(z))`` and ``stack`` is the same 5-layer
+GraAttenLayer+ResChebGCDiff body the diffusion denoiser uses (reference
+``models/igcn.py:_stack``; direct-inference eval per
+``runners/implicit_pose.py:523-526``).  The solve runs 10–20 iterations of
+the stack — by far the hottest loop in the implicit family — so the stack
+rides the same VMEM-resident whole-network kernel as the eval pipeline
+(``make_pallas_backbone``), with parity-grade bf16x3 matmuls.  Everything
+around it (input/output ChebConvs, timestep MLP, BatchNorm affine,
+Anderson mixing / damped relaxation, convergence predicate) is cheap
+elementwise or tiny-matrix math and stays in XLA, fusing around the kernel
+launches inside one jitted ``lax.while_loop``.
+
+Semantics match ``IGCN.__call__(train=False, differentiable=False)``
+exactly (same masked Anderson history, same global-relative-norm
+convergence after ``min_iterations``, same warm-start blend) — verified by
+``tests/test_pallas_igcn.py`` in interpret mode.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from diffpose_tpu.models.igcn import IGCN
+from diffpose_tpu.models.layers import timestep_embedding
+from diffpose_tpu.ops.pallas_denoiser import make_pallas_backbone
+
+Array = jax.Array
+
+__all__ = ["make_pallas_igcn"]
+
+
+def make_pallas_igcn(
+    model: IGCN,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    *,
+    block_b: int = 128,
+    precision="bf16x3",
+    interpret: bool = False,
+    vmem_limit_bytes=None,
+    group: int = 1,
+):
+    """Build ``fn(x, t, z0=None, z0_weight=None) → (out, aux)`` — the
+    fused-kernel equivalent of ``model.apply({"params", "batch_stats"},
+    x, t, train=False, differentiable=False)``.
+
+    ``aux`` carries ``iterations``, ``residual`` and ``fixed_point`` (the
+    warm-start carry), plus ``alpha`` for the damped solver — the same
+    surface :class:`~diffpose_tpu.models.igcn.IGCN` returns.
+    """
+    hid = model.hid_dim
+    num_layers = model.num_layers
+    f32 = jnp.float32
+
+    backbone = make_pallas_backbone(
+        params, model.basis,
+        num_layers=num_layers, num_heads=model.num_heads, hid_dim=hid,
+        block_b=block_b, precision=precision, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes, group=group,
+    )
+
+    basis_j = jnp.asarray(model.basis, f32)
+    asf = lambda p: jnp.asarray(p, f32)
+    win, bin_ = asf(params["gconv_input"]["w"]), asf(params["gconv_input"]["b"])
+    wout, bout = asf(params["gconv_output"]["w"]), asf(params["gconv_output"]["b"])
+    t0k, t0b = asf(params["temb_dense_0"]["kernel"]), asf(params["temb_dense_0"]["bias"])
+    t1k, t1b = asf(params["temb_dense_1"]["kernel"]), asf(params["temb_dense_1"]["bias"])
+    wtp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["kernel"])
+                     for i in range(num_layers)])
+    btp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["bias"])
+                     for i in range(num_layers)])
+    bn_scale, bn_bias = asf(params["bn_scale"]), asf(params["bn_bias"])
+    bn_mean, bn_var = asf(batch_stats["bn_mean"]), asf(batch_stats["bn_var"])
+
+    def cheb(x, w, b):
+        xk = jnp.einsum("knm,bmc->bnkc", basis_j, x)
+        return jnp.einsum("bnkc,kcd->bnd", xk, w) + b
+
+    def f(z, tp):
+        """The fixed-point function: kernel stack + eval-mode BatchNorm."""
+        out = backbone(z, tp)
+        flat = out.reshape(-1, hid)
+        y = (flat - bn_mean) * jax.lax.rsqrt(bn_var + 1e-5)
+        y = y * bn_scale + bn_bias
+        return y.reshape(out.shape)
+
+    def converged(z, z_prev):
+        return jnp.linalg.norm(z - z_prev) / (jnp.linalg.norm(z_prev) + 1e-8)
+
+    max_it, min_it = model.max_iterations, model.min_iterations
+
+    # ----- solvers: while_loop eval twins of IGCN._solve_* ----------------
+
+    def solve_damped(z, tp, tol):
+        adaptive = model.use_adaptive_alpha
+
+        def body(carry):
+            z, prev_err, alpha, it, done = carry
+            fz = f(z, tp)
+            z_new = (1 - alpha) * z + alpha * fz
+            err = converged(z_new, z)
+            if adaptive:
+                grown = jnp.minimum(alpha * 1.25, model.max_alpha)
+                shrunk = jnp.maximum(alpha * 0.5, model.min_alpha)
+                alpha_new = jnp.where(err < prev_err, grown, shrunk)
+                alpha = jnp.where(done, alpha, alpha_new)
+            new_done = done | ((it + 1 >= min_it) & (err < tol))
+            z_out = jnp.where(done, z, z_new)
+            err_out = jnp.where(done, prev_err, err)
+            return (z_out, err_out, alpha, it + jnp.where(done, 0, 1), new_done)
+
+        init = (
+            z, jnp.asarray(jnp.inf, z.dtype),
+            jnp.asarray(model.relaxation_alpha, z.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        )
+        carry = jax.lax.while_loop(
+            lambda c: (c[3] < max_it) & (~c[4]), body, init)
+        z_star, err, alpha, iters, _ = carry
+        return z_star, {"iterations": iters, "residual": err, "alpha": alpha}
+
+    def solve_anderson(z, tp, tol):
+        m = min(model.anderson_m, max_it)
+        beta = model.anderson_beta
+        lam = model.anderson_lambda
+        d = z.size
+        X = jnp.zeros((m, d), z.dtype)
+        F = jnp.zeros((m, d), z.dtype)
+        fz0 = f(z, tp)
+
+        def body(carry):
+            z, fz, X, F, _, it, done = carry
+            residual = fz - z
+            z_flat = z.reshape(-1)
+            r_flat = residual.reshape(-1)
+
+            full = it >= m
+            Xs = jnp.where(full, jnp.roll(X, -1, axis=0), X)
+            Fs = jnp.where(full, jnp.roll(F, -1, axis=0), F)
+            slot = jnp.minimum(it, m - 1)
+            zero = jnp.zeros((), slot.dtype)
+            Xs = jax.lax.dynamic_update_slice(Xs, z_flat[None], (slot, zero))
+            Fs = jax.lax.dynamic_update_slice(Fs, r_flat[None], (slot, zero))
+
+            count = jnp.minimum(it + 1, m)
+            newest = count - 1
+            valid = (jnp.arange(m) < count)[:, None].astype(z.dtype)
+            dX = (Xs - Xs[newest][None]) * valid
+            dF = (Fs - Fs[newest][None]) * valid
+
+            gram = dF @ dF.T + lam * jnp.eye(m, dtype=z.dtype)
+            rhs = -(dF @ Fs[newest])
+            alpha = jnp.linalg.solve(gram, rhs)
+            alpha_sum = jnp.sum(alpha)
+            sum_ok = jnp.abs(alpha_sum) > 1e-10
+            safe_sum = jnp.where(sum_ok, alpha_sum, jnp.ones_like(alpha_sum))
+            alpha = jnp.where(sum_ok, alpha / safe_sum, valid[:, 0] / count)
+            z_and = (alpha @ Xs).reshape(z.shape) + beta * (alpha @ Fs).reshape(z.shape)
+
+            df_norm = jnp.linalg.norm(dF)
+            use_plain = (it < 1) | (df_norm < 1e-10)
+            z_new = jnp.where(use_plain, z + beta * residual, z_and)
+
+            fz_new = f(z_new, tp)
+            err = converged(z_new, z)
+            new_done = done | ((it + 1 >= min_it) & (err < tol))
+            z_out = jnp.where(done, z, z_new)
+            fz_out = jnp.where(done, fz, fz_new)
+            return (z_out, fz_out, Xs, Fs, err, it + jnp.where(done, 0, 1), new_done)
+
+        init = (
+            z, fz0, X, F, jnp.asarray(jnp.inf, z.dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+        )
+        carry = jax.lax.while_loop(
+            lambda c: (c[5] < max_it) & (~c[6]), body, init)
+        z_star, _, _, _, err, iters, _ = carry
+        return z_star, {"iterations": iters, "residual": err}
+
+    solve = solve_anderson if model.solver == "anderson" else solve_damped
+
+    def fn(
+        x: Array,
+        t: Array,
+        z0: Optional[Array] = None,
+        z0_weight: Optional[Array] = None,
+        tolerance_override: Optional[Array] = None,
+    ):
+        temb = timestep_embedding(t.astype(f32), hid)
+        temb = nn.swish(temb @ t0k + t0b) @ t1k + t1b
+        st = nn.swish(temb)
+        tp = jnp.stack([st @ wtp[l] + btp[l] for l in range(num_layers)])
+
+        out = cheb(x.astype(f32), win, bin_)
+        if z0 is None:
+            z = out
+        elif z0_weight is None:
+            z = z0
+        else:
+            w = jnp.asarray(z0_weight, out.dtype)
+            z = w * jax.lax.stop_gradient(z0) + (1 - w) * out
+
+        tol = jnp.asarray(
+            model.tolerance if tolerance_override is None else tolerance_override,
+            f32,
+        )
+        z_star, aux = solve(z, tp, tol)
+        y = cheb(z_star, wout, bout)
+        return y, {**aux, "fixed_point": z_star}
+
+    return fn

@@ -139,12 +139,19 @@ def make_implicit_eval_step(
     use_ema: bool = False,
     gmm_base_seed: int = 0,
     use_warm_start: bool = False,
+    solve_override=None,
+    lift_override=None,
 ):
     """Direct-inference eval: lift → ONE fixed-point solve → hypothesis mean.
 
     ``use_warm_start=True``: the step takes ``(z0, z0_weight)`` extras and
     additionally returns the solved fixed point for the caller to carry to
     the next batch (reference ``igcn.py:309-313, 433``).
+
+    ``solve_override(x, t, z0=, z0_weight=) → (out, aux)`` /
+    ``lift_override(x2d) → xyz`` swap the module forwards for fused Pallas
+    kernels built from the exact weights under evaluation (see
+    ``ops/pallas_igcn.py``); semantics are identical.
     """
 
     def eval_step(state: TrainState, pose_params, batch: dict, key: Array,
@@ -155,17 +162,23 @@ def make_implicit_eval_step(
         _, _, input_2d = sample_gmm_batch_per_sample(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
         )
-        xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
+        if lift_override is not None:
+            xyz = lift_override(input_2d)
+        else:
+            xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
         xyz = xyz - xyz[:, :1, :]
         uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
         uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
 
         t_vec = jnp.full((uvxyz.shape[0],), float(t_infer), uvxyz.dtype)
-        out, aux = implicit_model.apply(
-            {"params": params, "batch_stats": state.model_state},
-            uvxyz, t_vec, mask, differentiable=False,
-            z0=z0, z0_weight=z0_weight,
-        )
+        if solve_override is not None:
+            out, aux = solve_override(uvxyz, t_vec, z0=z0, z0_weight=z0_weight)
+        else:
+            out, aux = implicit_model.apply(
+                {"params": params, "batch_stats": state.model_state},
+                uvxyz, t_vec, mask, differentiable=False,
+                z0=z0, z0_weight=z0_weight,
+            )
         out = out.reshape(test_times, -1, out.shape[1], out.shape[2]).mean(axis=0)
 
         pred_xyz = out[..., 2:]

@@ -119,3 +119,24 @@ def test_igcn_torch_checkpoint_loads_through_runner(tmp_path):
     runner.set_data(None, make_synthetic_dataset(num_frames=32, seed=6))
     p1, p2 = runner.evaluate()
     assert np.isfinite(p1) and np.isfinite(p2)
+
+
+def test_implicit_runner_pallas_eval_matches_module_eval():
+    import pytest
+
+    test_ds = make_synthetic_dataset(num_frames=32, seed=3)
+
+    def run(impl):
+        runner = ImplicitRunner(_cfg(), seed=11, denoiser_impl=impl)
+        runner.create_diffusion_model()
+        runner.create_pose_model()
+        runner.set_data(None, test_ds)
+        return runner.evaluate(is_train=True)
+
+    p1_m, p2_m = run("module")
+    try:
+        p1_p, p2_p = run("pallas")
+    except Exception as e:  # pallas CPU lowering unavailable in some builds
+        pytest.skip(f"pallas CPU path unavailable: {e}")
+    np.testing.assert_allclose(p1_p, p1_m, rtol=2e-3)
+    np.testing.assert_allclose(p2_p, p2_m, rtol=2e-3)
