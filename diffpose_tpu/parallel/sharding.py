@@ -227,6 +227,8 @@ def make_sharded_implicit_eval_step(
     use_ema: bool = False,
     gmm_base_seed: int = 0,
     use_warm_start: bool = False,
+    solve_override=None,
+    lift_override=None,
 ) -> Callable:
     """Sharded direct-inference eval: frames shard over ``axis``, each
     shard runs its own fixed-point solve.
@@ -250,6 +252,7 @@ def make_sharded_implicit_eval_step(
         implicit_model, pose_model, t_infer=t_infer, test_times=test_times,
         mask=mask, use_ema=use_ema, gmm_base_seed=gmm_base_seed,
         use_warm_start=use_warm_start,
+        solve_override=solve_override, lift_override=lift_override,
     )
     keys = ("poses_2d_gmm", "poses_3d", "seeds")
     batch_spec = P(axis)
@@ -379,6 +382,8 @@ def make_sharded_eval_step(
     use_ema: bool = False,
     sweep: int = 1,
     hyp_axis: Optional[str] = None,
+    denoise_override=None,
+    lift_override=None,
 ) -> Callable:
     """Multi-chip eval step: frames shard over ``axis``; hypotheses either
     stay on-chip (``test_times`` replication inside the shard) or, when
@@ -399,6 +404,9 @@ def make_sharded_eval_step(
         diff_model, pose_model, betas, seq,
         test_times=test_times, eta=eta, mask=mask, use_ema=use_ema,
         hyp_axis=hyp_axis, hyp_size=hyp_size,
+        # fused Pallas kernels (when given) run per-device on the local
+        # shard — same composition as the fused sharded train step
+        denoise_override=denoise_override, lift_override=lift_override,
     )
 
     keys = ("poses_2d_gmm", "poses_3d", "seeds")

@@ -193,7 +193,7 @@ class ImplicitRunner(DiffposeRunner):
         imp = self.config.implicit or ImplicitConfig()
         warm = imp.use_warm_start
         solve_override = lift_override = None
-        if self.denoiser_impl == "pallas" and self.mesh is None:
+        if self.denoiser_impl == "pallas":
             # Fused whole-network kernels from the exact weights under
             # evaluation: the fixed-point solve runs the 5-layer stack as
             # one VMEM-resident Pallas kernel per iteration (parity-grade
@@ -208,14 +208,15 @@ class ImplicitRunner(DiffposeRunner):
             )
             as_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
             m = self.config.model
+            interpret = jax.default_backend() != "tpu"
             solve_override = make_pallas_igcn(
                 self.model_diff, as_np(eval_params), as_np(state.model_state),
-                precision="bf16x3",
+                precision="bf16x3", interpret=interpret,
             )
             lift_override = make_pallas_lifter(
                 as_np(self.pose_params), self.basis,
                 num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
-                precision="bf16x3",
+                precision="bf16x3", interpret=interpret,
             )
         if self.mesh is not None:
             # Frames shard over `data`; each shard solves independently —
@@ -228,6 +229,7 @@ class ImplicitRunner(DiffposeRunner):
                 t_infer=t_cfg.test_num_diffusion_timesteps,
                 test_times=t_cfg.test_times, mask=self.mask,
                 use_ema=self.use_ema_eval, use_warm_start=warm,
+                solve_override=solve_override, lift_override=lift_override,
             )
         else:
             eval_fn = jax.jit(

@@ -498,7 +498,7 @@ class DiffposeRunner:
 
         denoise_override = None
         lift_override = None
-        if self.denoiser_impl == "pallas" and self.mesh is None:
+        if self.denoiser_impl == "pallas":
             # Build the fused whole-network kernels from the exact weights
             # under evaluation (EMA shadow or live).  "bf16x3" = parity-grade
             # f32 matmuls emulated as 3 single-pass bf16 MXU products — the
@@ -518,6 +518,8 @@ class DiffposeRunner:
             kernel_kw = dict(
                 num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
                 precision="bf16x3",
+                # off-TPU (CPU smoke/mesh tests) the kernels run interpreted
+                interpret=jax.default_backend() != "tpu",
             )
             denoise_override = make_pallas_denoiser(
                 jax.tree_util.tree_map(np.asarray, eval_params),
@@ -538,6 +540,7 @@ class DiffposeRunner:
                 self.model_diff, self.model_pose, self.betas, seq, self.mesh,
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                 use_ema=self.use_ema_eval, hyp_axis=hyp_axis,
+                denoise_override=denoise_override, lift_override=lift_override,
             )
         else:
             eval_fn = jax.jit(
@@ -570,6 +573,7 @@ class DiffposeRunner:
                     self.model_diff, self.model_pose, self.betas, seq, self.mesh,
                     test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                     use_ema=self.use_ema_eval, sweep=sweep, hyp_axis=hyp_axis,
+                    denoise_override=denoise_override, lift_override=lift_override,
                 )
                 from jax.sharding import NamedSharding, PartitionSpec as P
 

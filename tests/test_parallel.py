@@ -191,3 +191,38 @@ def test_sharded_train_sweep_matches_sequential_sharded_steps():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
     assert int(state_sw.step) == sweep
+
+
+def test_sharded_eval_with_pallas_overrides_matches_module():
+    """Fused-kernel eval composes with the data mesh: the overrides run
+    per-device on the local shard inside shard_map (interpret mode here)."""
+    from diffpose_tpu.ops.pallas_denoiser import (
+        make_pallas_denoiser,
+        make_pallas_lifter,
+    )
+
+    mesh = make_mesh()
+    ds = make_synthetic_dataset(num_frames=32, seed=6)
+    loader = BatchLoader(ds, batch_size=32, shuffle=False)
+    diff, pose = _models()
+    opt = make_optimizer()
+    state = _state(diff, opt, jax.random.PRNGKey(7))
+    pose_params = pose.init({"params": jax.random.PRNGKey(8)}, jnp.zeros((2, 17, 2)))["params"]
+
+    batch = shard_batch(mesh, next(iter(loader.epoch(0))))
+    key = jax.random.PRNGKey(9)
+
+    module = make_sharded_eval_step(diff, pose, BETAS, (0, 12), mesh, test_times=1)
+    p1_m, p2_m, pred_m = module(state, pose_params, batch, key)
+
+    kw = dict(num_layers=2, num_heads=4, hid_dim=32, block_b=4, interpret=True)
+    fused = make_sharded_eval_step(
+        diff, pose, BETAS, (0, 12), mesh, test_times=1,
+        denoise_override=make_pallas_denoiser(state.params, BASIS, **kw),
+        lift_override=make_pallas_lifter(pose_params, BASIS, **kw),
+    )
+    p1_p, p2_p, pred_p = fused(state, pose_params, batch, key)
+
+    np.testing.assert_allclose(np.asarray(pred_p), np.asarray(pred_m), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(p1_p), np.asarray(p1_m), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p2_p), np.asarray(p2_m), atol=1e-4)

@@ -135,3 +135,52 @@ def test_sharded_implicit_eval_anderson_warm_start():
         state, pose_params, batch, jax.random.PRNGKey(6), fp, jnp.asarray(1.0)
     )
     assert np.all(np.asarray(iters_warm) <= np.asarray(iters_cold))
+
+
+def test_sharded_implicit_eval_with_pallas_solve_override():
+    """The fused-kernel solve composes with the data mesh: each shard runs
+    its own kernel-backed fixed-point solve (interpret mode here), matching
+    the module path exactly at a fixed iteration count."""
+    from diffpose_tpu.ops.pallas_denoiser import make_pallas_lifter
+    from diffpose_tpu.ops.pallas_igcn import make_pallas_igcn
+    from diffpose_tpu.parallel.sharding import make_sharded_implicit_eval_step
+
+    mesh = make_mesh()
+    model = IGCN(
+        basis=BASIS, hid_dim=32, num_layers=2, num_heads=4,
+        solver="damped", max_iterations=4, min_iterations=4,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 17, 5)), jnp.zeros((2,))
+    )
+    pose = _pose_model()
+    pose_params = pose.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((2, 17, 2))
+    )["params"]
+    state = TrainState.create(
+        variables["params"], opt_state=(), model_state=variables["batch_stats"],
+    )
+
+    ds = make_synthetic_dataset(num_frames=64, seed=1)
+    batch = next(iter(BatchLoader(ds, batch_size=64, shuffle=False).epoch(0)))
+    key = jax.random.PRNGKey(2)
+
+    module = make_sharded_implicit_eval_step(model, pose, mesh, t_infer=12)
+    p1_m, p2_m, pred_m, iters_m = module(
+        state, pose_params, shard_batch(mesh, batch), key)
+
+    fused = make_sharded_implicit_eval_step(
+        model, pose, mesh, t_infer=12,
+        solve_override=make_pallas_igcn(
+            model, variables["params"], variables["batch_stats"],
+            block_b=4, interpret=True, precision=None),
+        lift_override=make_pallas_lifter(
+            pose_params, BASIS, num_layers=2, num_heads=4, hid_dim=32,
+            block_b=4, interpret=True),
+    )
+    p1_p, p2_p, pred_p, iters_p = fused(
+        state, pose_params, shard_batch(mesh, batch), key)
+
+    assert np.all(np.asarray(iters_p) == np.asarray(iters_m))
+    np.testing.assert_allclose(np.asarray(pred_p), np.asarray(pred_m), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1_p), np.asarray(p1_m), atol=1e-4)
