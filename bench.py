@@ -43,6 +43,35 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 def bench_tpu(iters: int = 25) -> float:
     import jax
 
+    # The Mosaic whole-network kernels compile through a remote-compile
+    # service that is intermittently degraded: compiles that normally take
+    # ~270 s can HANG indefinitely (observed; docs/PERF.md).  A hang is not
+    # an exception, so the pallas measurement runs in a watchdogged
+    # subprocess — on timeout (default 25 min: one healthy compile plus
+    # margin) or failure the bench falls back to the XLA module path.
+    if (os.environ.get("BENCH_IMPL", "pallas") == "pallas"
+            and "BENCH_CHILD" not in os.environ):
+        import subprocess
+
+        budget = int(os.environ.get("BENCH_PALLAS_TIMEOUT_S", "1500"))
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env={**os.environ, "BENCH_CHILD": "1"},
+                timeout=budget, capture_output=True, text=True,
+            )
+            sys.stderr.write(res.stderr)
+            for line in res.stdout.splitlines():
+                if line.startswith("CHILD_FPS "):
+                    return float(line.split()[1])
+            print("# pallas child produced no result; falling back to the "
+                  "XLA path", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# pallas compile/run exceeded {budget}s watchdog "
+                  "(degraded remote-compile service); falling back to the "
+                  "XLA path", file=sys.stderr)
+        os.environ["BENCH_IMPL"] = "xla"
+
     # Parity-grade precision: TPU default single-pass-bf16 matmuls cost
     # >1 mm P1 on this model (docs/PERF.md) — the headline number must be
     # achievable at reference accuracy.  The Pallas kernels emulate f32
@@ -190,6 +219,14 @@ def get_baseline() -> float:
 
 
 def main():
+    if "--child" in sys.argv:
+        # Watchdogged pallas measurement (see bench_tpu): print the raw
+        # number for the parent and exit.
+        import jax
+
+        with jax.default_matmul_precision("float32"):
+            print(f"CHILD_FPS {_bench_tpu_inner(25)}", flush=True)
+        return
     baseline = get_baseline()
     value = bench_tpu()
     vs = value / baseline if baseline > 0 else 0.0

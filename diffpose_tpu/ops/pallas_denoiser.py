@@ -182,19 +182,35 @@ def _net_kernel(
         # segment GEMMs (same MXU row count either way; fewer, longer GEMMs
         # and one softmax per group — costs `group`× the [Nk,·,TB,H] score
         # buffer in VMEM, so big groups need a raised vmem_limit_bytes).
-        att_rows = []
-        for g0 in range(0, n_pts, group):
-            g = min(group, n_pts - g0)
-            p = k[:, None] * q[g0:g0 + g][None]                   # [Nk, g, TB, H]
-            s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
-            s = s.reshape(n_pts, g, tb, num_heads)                # scores over keys
-            smax = jnp.max(s, axis=0, keepdims=True)
-            e = jnp.exp(s - smax)
-            probs = e / jnp.sum(e, axis=0, keepdims=True)
-            w = _dot_exact_w(probs.reshape(-1, num_heads), segt_c, precision)
-            w = w.reshape(n_pts, g, tb, h_dim)
-            att_rows.append(jnp.sum(w * v[:, None], axis=0))      # [g, TB, H]
-        att = jnp.concatenate(att_rows, axis=0)
+        # group=1 keeps the rank-3 formulation (the production default;
+        # rank-4 intermediates compile much more slowly through Mosaic).
+        if group == 1:
+            att_rows = []
+            for n in range(n_pts):
+                p = q[n:n + 1] * k                                # [17, TB, H]
+                s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
+                s = s.reshape(n_pts, tb, num_heads)               # scores over keys
+                smax = jnp.max(s, axis=0, keepdims=True)
+                e = jnp.exp(s - smax)
+                probs = e / jnp.sum(e, axis=0, keepdims=True)
+                w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c, precision)
+                w = w.reshape(n_pts, tb, h_dim)
+                att_rows.append(jnp.sum(w * v, axis=0))           # [TB, H]
+            att = jnp.stack(att_rows)
+        else:
+            att_rows = []
+            for g0 in range(0, n_pts, group):
+                g = min(group, n_pts - g0)
+                p = k[:, None] * q[g0:g0 + g][None]               # [Nk, g, TB, H]
+                s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
+                s = s.reshape(n_pts, g, tb, num_heads)            # scores over keys
+                smax = jnp.max(s, axis=0, keepdims=True)
+                e = jnp.exp(s - smax)
+                probs = e / jnp.sum(e, axis=0, keepdims=True)
+                w = _dot_exact_w(probs.reshape(-1, num_heads), segt_c, precision)
+                w = w.reshape(n_pts, g, tb, h_dim)
+                att_rows.append(jnp.sum(w * v[:, None], axis=0))  # [g, TB, H]
+            att = jnp.concatenate(att_rows, axis=0)
         att = (
             _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
         ).reshape(n_pts, tb, h_dim)
