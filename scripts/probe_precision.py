@@ -93,7 +93,12 @@ def main():
                np.asarray(jax.jit(xla_eval)(x2d)))
     report("XLA default (single-pass bf16)",
            np.asarray(jax.jit(xla_eval)(x2d)))
+    with jax.default_matmul_precision("BF16_BF16_F32_X3"):
+        report("XLA BF16_BF16_F32_X3 (3-pass bf16)",
+               np.asarray(jax.jit(xla_eval)(x2d)))
 
+    if "--xla-only" in sys.argv:  # Mosaic compiles hang when the remote
+        return                    # compile service is degraded (PERF.md)
     fused = make_pallas_eval(pp, pd, basis, seq=SEQ, betas=betas,
                              test_times=1, precision="bf16x3")
     report("Pallas fused bf16x3 (r2 headline)",
