@@ -43,22 +43,26 @@ def main():
     x = jnp.asarray(rng.normal(size=(b, 17, 5)).astype(np.float32))
     t = jnp.full((b,), 12.0)
 
-    # --- XLA module path (parity-grade f32 matmul precision) ---
-    with jax.default_matmul_precision("float32"):
-        mod = jax.jit(lambda x, t: model.apply(
-            variables, x, t, train=False, differentiable=False))
-        t0 = time.perf_counter()
-        out, aux = mod(x, t)
-        jax.block_until_ready(out)
-        print(f"module compile {time.perf_counter()-t0:.0f}s  "
-              f"iters {int(aux['iterations'])}", flush=True)
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    # --- XLA module path at each parity-grade matmul precision ---
+    for prec in ("float32", "BF16_BF16_F32_X3"):
+        with jax.default_matmul_precision(prec):
+            mod = jax.jit(lambda x, t: model.apply(
+                variables, x, t, train=False, differentiable=False))
+            t0 = time.perf_counter()
             out, aux = mod(x, t)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / iters * 1e3
-        print(f"XLA module solve (b={b}): {ms:7.2f} ms ({b/ms*1e3:,.0f} frames/s)",
-              flush=True)
+            jax.block_until_ready(out)
+            print(f"module[{prec}] compile {time.perf_counter()-t0:.0f}s  "
+                  f"iters {int(aux['iterations'])}", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out, aux = mod(x, t)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            print(f"XLA module solve (b={b}, {prec}): {ms:7.2f} ms "
+                  f"({b/ms*1e3:,.0f} frames/s)", flush=True)
+
+    if "--xla-only" in sys.argv:  # Mosaic compiles hang when the remote
+        return                    # compile service is degraded (PERF.md)
 
     # --- fused Pallas path (bf16x3) ---
     fn = jax.jit(make_pallas_igcn(

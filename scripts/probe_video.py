@@ -1,0 +1,100 @@
+"""Hardware timing: video-family (spatio-temporal) train/eval throughput.
+
+Single-chip XLA path at each parity-grade matmul precision; frames/s
+counts window_batch × frames per step (the video model denoises whole
+81/243-frame windows — capability target README.md:92-93 / BASELINE
+configs[4]).
+
+Usage: probe_video.py [iters] [--b=16 --frames=81]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffpose_tpu.data.video import synthetic_video_dataset
+from diffpose_tpu.diffusion import get_beta_schedule
+from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
+from diffpose_tpu.models import ema_register
+from diffpose_tpu.models.video import SpatioTemporalDiff
+from diffpose_tpu.train import TrainState, make_optimizer
+from diffpose_tpu.train.video_steps import make_video_eval_step, make_video_train_step
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 20
+    b = next((int(a[4:]) for a in sys.argv if a.startswith("--b=")), 16)
+    frames = next((int(a[9:]) for a in sys.argv if a.startswith("--frames=")), 81)
+
+    basis = cheb_basis_from_edges(17, H36M_EDGES)
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
+                              num_diffusion_timesteps=51)
+    model = SpatioTemporalDiff(basis=basis, frames=frames)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((2, frames, 17, 5)), jnp.zeros((2,)),
+    )["params"]
+    opt = make_optimizer(lr=2e-5, steps_per_epoch=1)
+
+    def fresh_state():
+        # per-precision-loop: the train step donates its state, so the
+        # buffers must be rebuilt for each jitted variant
+        return TrainState.create(params, opt.init(params),
+                                 ema_params=ema_register(params))
+
+    ds = synthetic_video_dataset(num_windows=b, frames=frames, seed=0)
+    batch = {
+        "poses_3d": jnp.asarray(ds.poses_3d),
+        "poses_2d_gmm": jnp.asarray(ds.poses_2d_gmm),
+        "seeds": jnp.arange(b, dtype=jnp.int32),
+    }
+    batch = jax.device_put(batch)
+    fps_den = b * frames
+
+    precs = next((a[8:].split(",") for a in sys.argv if a.startswith("--precs=")),
+                 ("float32", "BF16_BF16_F32_X3"))
+    for prec in precs:
+        with jax.default_matmul_precision(prec):
+            state = fresh_state()
+            ev = jax.jit(make_video_eval_step(model, betas, (0, 6)))
+            t0 = time.perf_counter()
+            p1, p2, _ = ev(state, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(p1)
+            print(f"eval[{prec}] compile {time.perf_counter()-t0:.0f}s  "
+                  f"P1 {float(np.mean(p1))*1000:.1f} mm", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                p1, p2, _ = ev(state, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(p1)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            print(f"video eval (b={b} f={frames}, {prec}): {ms:7.2f} ms "
+                  f"({fps_den/ms*1e3:,.0f} frames/s)", flush=True)
+
+            tr = jax.jit(make_video_train_step(model, opt, betas),
+                         donate_argnums=(0,))
+            st = state
+            t0 = time.perf_counter()
+            st, m = tr(st, batch, jax.random.PRNGKey(2))
+            jax.block_until_ready(m["loss"])
+            print(f"train[{prec}] compile {time.perf_counter()-t0:.0f}s  "
+                  f"loss {float(m['loss']):.2f}", flush=True)
+            t0 = time.perf_counter()
+            for i in range(iters):
+                st, m = tr(st, batch, jax.random.fold_in(jax.random.PRNGKey(3), i))
+            jax.block_until_ready(m["loss"])
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            print(f"video train (b={b} f={frames}, {prec}): {ms:7.2f} ms "
+                  f"({fps_den/ms*1e3:,.0f} frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
