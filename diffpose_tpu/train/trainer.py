@@ -230,11 +230,14 @@ class DiffposeRunner:
     def _pallas_step_kwargs(self, *, in_sweep: bool) -> dict:
         """Kernel config for make_pallas_train_step at this runner's batch.
 
-        Standalone steps run fastest at tiles (64, 32) with whole-row
-        attention (group 17) — 15.49 ms/step at b=1024 (docs/PERF.md).
-        Inside a train-sweep ``lax.scan`` the same tiles exceed the 16 MB
-        scoped-VMEM budget (the scan body costs ~6 MB of headroom), so the
-        sweep path uses the smaller (16, 16, group 4) tiling.  ``prng``
+        Steps run fastest at tiles (64, 32) with whole-row attention
+        (group 17) — 15.49 ms/step standalone, 16.39 ms/step inside the
+        train-sweep ``lax.scan`` (62.5k frames/s at b=1024; docs/PERF.md).
+        The sweep composition needs the scoped-VMEM limit raised past
+        Mosaic's 16 MB default (the scan body costs ~6 MB of headroom on
+        top of the 16.5 MB the tiles use; v5e has 128 MB/core), so on TPU
+        it runs with a 100 MB limit; off-TPU (interpret) the smaller
+        (16, 16, group 4) tiling keeps CPU smoke tests cheap.  ``prng``
         dropout needs real TPU PRNG hardware; off-TPU the step falls back
         to explicit masks (the interpret path).
         """
@@ -246,12 +249,13 @@ class DiffposeRunner:
                 "mode has no PRNG); using explicit masks")
             dropout = "masks"
         b = self.config.training.batch_size
-        if in_sweep:
+        if b % 64 != 0 or (in_sweep and interpret):
             blocks = dict(block_b_fwd=16, block_b_bwd=16, group=4)
-        elif b % 64 == 0:
-            blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17)
+        elif in_sweep:
+            blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17,
+                          vmem_limit_bytes=100 * 2**20)
         else:
-            blocks = dict(block_b_fwd=16, block_b_bwd=16, group=4)
+            blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17)
         return dict(interpret=interpret, dropout=dropout, **blocks)
 
     def _build_train_step(self, steps_per_epoch: int):
