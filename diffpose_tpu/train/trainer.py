@@ -251,11 +251,15 @@ class DiffposeRunner:
         b = self.config.training.batch_size
         if b % 64 != 0 or (in_sweep and interpret):
             blocks = dict(block_b_fwd=16, block_b_bwd=16, group=4)
-        elif in_sweep:
-            blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17,
-                          vmem_limit_bytes=100 * 2**20)
         else:
             blocks = dict(block_b_fwd=64, block_b_bwd=32, group=17)
+            if not interpret and (in_sweep or dropout == "prng"):
+                # Sweep scan bodies and prng-dropout stashes exceed
+                # Mosaic's 16 MB default at these tiles (prng fwd needs
+                # ~38 MB; v5e has 128 MB/core).  Only raise when needed:
+                # the higher limit costs the masks standalone step ~7%
+                # (16.63 vs 15.49 ms — looser allocation choices).
+                blocks["vmem_limit_bytes"] = 100 * 2**20
         return dict(interpret=interpret, dropout=dropout, **blocks)
 
     def _build_train_step(self, steps_per_epoch: int):
