@@ -56,7 +56,7 @@ def bench_tpu(iters: int = 25) -> float:
         budget = int(os.environ.get("BENCH_PALLAS_TIMEOUT_S", "1500"))
         try:
             res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child"],
+                [sys.executable, os.path.abspath(__file__), "--child", str(iters)],
                 env={**os.environ, "BENCH_CHILD": "1"},
                 timeout=budget, capture_output=True, text=True,
             )
@@ -83,17 +83,7 @@ def bench_tpu(iters: int = 25) -> float:
     # the f32-precision throughput (89.2k vs 60.6k frames/s).
     with jax.default_matmul_precision(
             os.environ.get("BENCH_XLA_PRECISION", "BF16_BF16_F32_X3")):
-        try:
-            return _bench_tpu_inner(iters)
-        except Exception as e:
-            if os.environ.get("BENCH_IMPL", "pallas") != "pallas":
-                raise
-            # The remote-compile service occasionally 500s on Mosaic
-            # kernels; a degraded-but-correct number beats no number.
-            print(f"# pallas path failed ({type(e).__name__}: {e}); "
-                  "falling back to the XLA path", file=sys.stderr)
-            os.environ["BENCH_IMPL"] = "xla"
-            return _bench_tpu_inner(iters)
+        return _bench_tpu_inner(iters)
 
 
 def _bench_tpu_inner(iters: int) -> float:
@@ -226,11 +216,14 @@ def get_baseline() -> float:
 def main():
     if "--child" in sys.argv:
         # Watchdogged pallas measurement (see bench_tpu): print the raw
-        # number for the parent and exit.
+        # number for the parent and exit.  Same precision contract as the
+        # parent (the XLA-side remainder honors BENCH_XLA_PRECISION).
         import jax
 
-        with jax.default_matmul_precision("float32"):
-            print(f"CHILD_FPS {_bench_tpu_inner(25)}", flush=True)
+        iters = int(sys.argv[sys.argv.index("--child") + 1])
+        with jax.default_matmul_precision(
+                os.environ.get("BENCH_XLA_PRECISION", "BF16_BF16_F32_X3")):
+            print(f"CHILD_FPS {_bench_tpu_inner(iters)}", flush=True)
         return
     baseline = get_baseline()
     value = bench_tpu()

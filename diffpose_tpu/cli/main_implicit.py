@@ -77,12 +77,12 @@ def main(argv=None) -> int:
     from diffpose_tpu.train.implicit_runner import ImplicitRunner
 
     if args.use_implicit:
-        # These knobs live on the GCNDiff eval path; the fixed-point eval
-        # has no DDIM sweep or Pallas kernel to select.
+        # These knobs live on the GCNDiff paths; the fixed-point eval has
+        # no DDIM sweep, and the fused TRAIN kernels are GCNDiff-shaped.
+        # (--denoiser_impl pallas DOES apply: it selects the fused
+        # fixed-point inference kernels, ops/pallas_igcn.py.)
         if args.eval_sweep > 1:
             logging.warning("--eval_sweep has no effect with --use_implicit")
-        if args.denoiser_impl != "module":
-            logging.warning("--denoiser_impl has no effect with --use_implicit")
         if args.train_impl != "module":
             logging.warning("--train_impl has no effect with --use_implicit")
 

@@ -153,6 +153,11 @@ def make_implicit_eval_step(
     kernels built from the exact weights under evaluation (see
     ``ops/pallas_igcn.py``); semantics are identical.
     """
+    if (solve_override is not None or lift_override is not None) and mask is not None:
+        # The fused kernels bake in the reference's all-True mask
+        # (runners/diffpose_frame.py:39-40); reject a real mask loudly.
+        assert bool(np.all(np.asarray(mask) == 1)), (
+            "solve/lift overrides assume an all-True mask")
 
     def eval_step(state: TrainState, pose_params, batch: dict, key: Array,
                   z0=None, z0_weight=None):

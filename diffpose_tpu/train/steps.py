@@ -187,6 +187,13 @@ def make_eval_step(
     ``use_ema`` evaluates the EMA shadow instead of the live weights (the
     reference persists EMA but never swaps it in; both paths exist here).
     """
+    if (denoise_override is not None or lift_override is not None) and mask is not None:
+        # The fused kernels have no mask input: the reference mask is the
+        # hardcoded all-True 1×1×17 (runners/diffpose_frame.py:39-40), so
+        # the kernels bake it in.  Reject a real mask loudly rather than
+        # silently diverging from the module path.
+        assert bool(np.all(np.asarray(mask) == 1)), (
+            "denoise/lift overrides assume an all-True mask")
     seq = tuple(int(s) for s in seq)
     if hyp_axis is not None:
         assert test_times % hyp_size == 0, (test_times, hyp_size)

@@ -1,9 +1,7 @@
-"""Runner eval with the fused Pallas denoiser (interpret-free on CPU via
-the kernel's interpret fallback is not wired; instead this runs the
-kernel through pallas CPU lowering when available — keep it small)."""
+"""Runner eval with the fused Pallas denoiser (off-TPU the runner builds
+the kernels in interpret mode, so the parity check runs everywhere)."""
 
 import numpy as np
-import pytest
 
 from diffpose_tpu.config import Config, ModelConfig, OptimConfig, TestingConfig, TrainingConfig
 from diffpose_tpu.data import make_synthetic_dataset
@@ -30,9 +28,6 @@ def test_runner_pallas_eval_matches_module_eval():
         return runner.evaluate(is_train=True)
 
     p1_m, p2_m = run("module")
-    try:
-        p1_p, p2_p = run("pallas")
-    except Exception as e:  # pallas CPU lowering unavailable in some builds
-        pytest.skip(f"pallas CPU path unavailable: {e}")
+    p1_p, p2_p = run("pallas")
     np.testing.assert_allclose(p1_p, p1_m, rtol=2e-3)
     np.testing.assert_allclose(p2_p, p2_m, rtol=2e-3)
