@@ -241,26 +241,32 @@ def _net_kernel(
         o_ref[...] = h
 
 
-def _prep_weights(params, basis, num_layers, num_heads, hid_dim):
-    """Materialize the backbone's weight stack + attention segment matrices.
+def _segment_matrices(num_heads, hid_dim):
+    """Attention segment matrices: per-head score folding + head expansion.
 
-    Shared by denoiser (GCNDiff) and lifter (GCNPose): both use the same
-    GraFormer backbone parameter naming (``gconv_input``, ``atten_{i}``,
-    ``res_{i}``, ``gconv_output``).
+    Both are EXACT 0/1 (the 1/√dk score scale is folded into the q
+    projection in ``_weight_stacks`` instead) so parity-grade needs only
+    2 MXU passes through them (`_dot_exact_w`).  Static (weight-free).
     """
     dk = hid_dim // num_heads
-    terms = _sparse_terms(np.asarray(basis, np.float64))
-
-    # Segment matrices: per-head score folding and head expansion.  Both
-    # are EXACT 0/1 (the 1/√dk score scale is folded into the q projection
-    # below instead) so parity-grade needs only 2 MXU passes through them
-    # (`_dot_exact_w`).
     seg = np.zeros((hid_dim, num_heads), np.float32)
     segt = np.zeros((num_heads, hid_dim), np.float32)
     for h in range(num_heads):
         seg[h * dk:(h + 1) * dk, h] = 1.0
         segt[h, h * dk:(h + 1) * dk] = 1.0
+    return jnp.asarray(seg), jnp.asarray(segt)
 
+
+def _weight_stacks(params, num_layers, num_heads, hid_dim):
+    """Materialize the backbone's stacked weight pytree from model params.
+
+    Shared by denoiser (GCNDiff) and lifter (GCNPose): both use the same
+    GraFormer backbone parameter naming (``gconv_input``, ``atten_{i}``,
+    ``res_{i}``, ``gconv_output``).  Pure jnp stacking/scaling — traceable,
+    so the stacks can be built INSIDE a jitted step from runtime params
+    (weights enter the kernels as operands, not compile-time constants;
+    fresh weights never force a re-trace).
+    """
     f32 = jnp.float32
 
     def stack(fn):
@@ -296,10 +302,18 @@ def _prep_weights(params, basis, num_layers, num_heads, hid_dim):
     )
     # Fold the attention score scale into the q projection (weights AND
     # bias): scores = Σ_d (q/√dk)_d · k_d with exact-0/1 seg.
-    scale = 1.0 / math.sqrt(dk)
+    scale = 1.0 / math.sqrt(hid_dim // num_heads)
     weights["wqkv"] = weights["wqkv"].at[:, :, :hid_dim].multiply(scale)
     weights["bqkv"] = weights["bqkv"].at[:, :hid_dim].multiply(scale)
-    return weights, terms, jnp.asarray(seg), jnp.asarray(segt)
+    return weights
+
+
+def _prep_weights(params, basis, num_layers, num_heads, hid_dim):
+    """Weight stacks + Chebyshev terms + segment matrices (legacy combiner)."""
+    terms = _sparse_terms(np.asarray(basis, np.float64))
+    seg, segt = _segment_matrices(num_heads, hid_dim)
+    weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
+    return weights, terms, seg, segt
 
 
 # Weight-ref order shared by the denoiser and lifter pallas_calls — must
@@ -320,8 +334,7 @@ def _full_spec(shape):
     return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM)
 
 
-def make_pallas_denoiser(
-    params: Dict[str, Any],
+def make_pallas_denoiser_fn(
     basis: np.ndarray,
     *,
     num_layers: int = 5,
@@ -333,25 +346,22 @@ def make_pallas_denoiser(
     vmem_limit_bytes=None,  # raise Mosaic's 16 MB scoped-VMEM default
     group: int = 1,          # query joints per attention segment GEMM
 ):
-    """Build ``fn(x, t) → ε̂`` running the whole forward as one Pallas kernel.
+    """Build ``fn(params, x, t) → ε̂`` — whole forward as one Pallas kernel,
+    with the weights as RUNTIME operands.
+
+    The factory itself is weight-free: the per-layer stacks are assembled
+    (traceably) inside ``fn`` and enter the ``pallas_call`` as inputs, so a
+    single jitted program serves every weight set (per-epoch eval, EMA vs
+    live, resumed checkpoints) with zero re-tracing.
 
     Output matches ``GCNDiff.apply`` (eval mode) to float32 tolerance with
     ``precision="bf16x3"`` (parity-grade; see ``_dot``) or the default
     single-pass bf16 MXU tolerance otherwise.
     """
     n_pts = basis.shape[1]
-    weights, terms, seg_j, segt_j = _prep_weights(
-        params, basis, num_layers, num_heads, hid_dim)
-
+    terms = _sparse_terms(np.asarray(basis, np.float64))
+    seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
     f32 = jnp.float32
-    stack = lambda fn: jnp.stack([fn(i) for i in range(num_layers)]).astype(f32)
-    r = lambda i: params[f"res_{i}"]
-    wtp = stack(lambda i: r(i)["temb_proj"]["kernel"])   # [L, 4H, H]
-    btp = stack(lambda i: r(i)["temb_proj"]["bias"])     # [L, H]
-    t0k = jnp.asarray(params["temb_dense_0"]["kernel"], f32)
-    t0b = jnp.asarray(params["temb_dense_0"]["bias"], f32)
-    t1k = jnp.asarray(params["temb_dense_1"]["kernel"], f32)
-    t1b = jnp.asarray(params["temb_dense_1"]["bias"], f32)
 
     kernel = functools.partial(
         _net_kernel,
@@ -360,12 +370,22 @@ def make_pallas_denoiser(
         has_temb=True, group=group,
     )
 
-    c_in = params["gconv_input"]["w"].shape[1]
-    c_out = params["gconv_output"]["w"].shape[2]
-    w_args = [weights[k] for k in _W_ORDER]
-    w_specs = [_full_spec(w.shape) for w in w_args]
+    def fn(params, x: Array, t: Array) -> Array:
+        weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
+        c_in = params["gconv_input"]["w"].shape[1]
+        c_out = params["gconv_output"]["w"].shape[2]
+        w_args = [weights[k] for k in _W_ORDER]
+        w_specs = [_full_spec(w.shape) for w in w_args]
 
-    def fn(x: Array, t: Array) -> Array:
+        stack = lambda f: jnp.stack([f(i) for i in range(num_layers)]).astype(f32)
+        r = lambda i: params[f"res_{i}"]
+        wtp = stack(lambda i: r(i)["temb_proj"]["kernel"])   # [L, 4H, H]
+        btp = stack(lambda i: r(i)["temb_proj"]["bias"])     # [L, H]
+        t0k = jnp.asarray(params["temb_dense_0"]["kernel"], f32)
+        t0b = jnp.asarray(params["temb_dense_0"]["bias"], f32)
+        t1k = jnp.asarray(params["temb_dense_1"]["kernel"], f32)
+        t1b = jnp.asarray(params["temb_dense_1"]["bias"], f32)
+
         bsz = x.shape[0]
         bb = min(block_b, bsz)
         # Grid must tile exactly: pad the batch up to a block multiple and
@@ -407,13 +427,22 @@ def make_pallas_denoiser(
     return fn
 
 
+def make_pallas_denoiser(params: Dict[str, Any], basis: np.ndarray, **kw):
+    """Build ``fn(x, t) → ε̂`` with the weights baked in at build time.
+
+    Thin wrapper over :func:`make_pallas_denoiser_fn` for fixed-weight
+    uses (bench, probes, tests); runners should prefer the ``_fn`` variant
+    so one compiled program serves every epoch's weights.
+    """
+    return functools.partial(make_pallas_denoiser_fn(basis, **kw), params)
+
+
 # Backbone weight order (no input/output convs) for make_pallas_backbone.
 _W_ORDER_BACKBONE = tuple(
     k for k in _W_ORDER if k not in ("win", "bin_", "wout", "bout"))
 
 
-def make_pallas_backbone(
-    params: Dict[str, Any],
+def make_pallas_backbone_fn(
     basis: np.ndarray,
     *,
     num_layers: int = 5,
@@ -425,15 +454,16 @@ def make_pallas_backbone(
     vmem_limit_bytes=None,
     group: int = 1,
 ):
-    """Build ``fn(z [B,N,H], tp [L,B,H]) → stack(z) [B,N,H]`` — the bare
-    5-layer GraAttenLayer+ResChebGCDiff stack as one kernel (no in/out
-    convs, no BatchNorm).  This is the hot body of the IGCN fixed-point
-    function f(z) (reference ``models/igcn.py:_stack``; the surrounding
-    BatchNorm and solver mixing are cheap elementwise/XLA math).
+    """Build ``fn(params, z [B,N,H], tp [L,B,H]) → stack(z) [B,N,H]`` — the
+    bare 5-layer GraAttenLayer+ResChebGCDiff stack as one kernel (no in/out
+    convs, no BatchNorm), weights as runtime operands.  This is the hot
+    body of the IGCN fixed-point function f(z) (reference
+    ``models/igcn.py:_stack``; the surrounding BatchNorm and solver mixing
+    are cheap elementwise/XLA math).
     """
     n_pts = basis.shape[1]
-    weights, terms, seg_j, segt_j = _prep_weights(
-        params, basis, num_layers, num_heads, hid_dim)
+    terms = _sparse_terms(np.asarray(basis, np.float64))
+    seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
 
     kernel = functools.partial(
         _net_kernel,
@@ -441,12 +471,12 @@ def make_pallas_backbone(
         num_heads=num_heads, h_dim=hid_dim, precision=precision,
         has_temb=True, group=group, has_io=False,
     )
-
-    w_args = [weights[k] for k in _W_ORDER_BACKBONE]
-    w_specs = [_full_spec(w.shape) for w in w_args]
     f32 = jnp.float32
 
-    def fn(z: Array, tp: Array) -> Array:
+    def fn(params, z: Array, tp: Array) -> Array:
+        weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
+        w_args = [weights[k] for k in _W_ORDER_BACKBONE]
+        w_specs = [_full_spec(w.shape) for w in w_args]
         bsz = z.shape[0]
         bb = min(block_b, bsz)
         pad = (-bsz) % bb
@@ -476,8 +506,12 @@ def make_pallas_backbone(
     return fn
 
 
-def make_pallas_lifter(
-    params: Dict[str, Any],
+def make_pallas_backbone(params: Dict[str, Any], basis: np.ndarray, **kw):
+    """Baked-weights wrapper over :func:`make_pallas_backbone_fn`."""
+    return functools.partial(make_pallas_backbone_fn(basis, **kw), params)
+
+
+def make_pallas_lifter_fn(
     basis: np.ndarray,
     *,
     num_layers: int = 5,
@@ -489,14 +523,15 @@ def make_pallas_lifter(
     vmem_limit_bytes=None,
     group: int = 1,
 ):
-    """Build ``fn(x2d) → xyz`` — GCNPose forward as one Pallas kernel.
+    """Build ``fn(params, x2d) → xyz`` — GCNPose forward as one Pallas
+    kernel, weights as runtime operands.
 
     Same backbone kernel as the denoiser with the timestep path compiled
     out (GCNPose has none; reference ``models/gcnpose.py:55-113``).
     """
     n_pts = basis.shape[1]
-    weights, terms, seg_j, segt_j = _prep_weights(
-        params, basis, num_layers, num_heads, hid_dim)
+    terms = _sparse_terms(np.asarray(basis, np.float64))
+    seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
 
     kernel = functools.partial(
         _net_kernel,
@@ -504,14 +539,14 @@ def make_pallas_lifter(
         num_heads=num_heads, h_dim=hid_dim, precision=precision,
         has_temb=False, group=group,
     )
-
-    c_in = params["gconv_input"]["w"].shape[1]
-    c_out = params["gconv_output"]["w"].shape[2]
-    w_args = [weights[k] for k in _W_ORDER]
-    w_specs = [_full_spec(w.shape) for w in w_args]
     f32 = jnp.float32
 
-    def fn(x: Array) -> Array:
+    def fn(params, x: Array) -> Array:
+        weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
+        c_in = params["gconv_input"]["w"].shape[1]
+        c_out = params["gconv_output"]["w"].shape[2]
+        w_args = [weights[k] for k in _W_ORDER]
+        w_specs = [_full_spec(w.shape) for w in w_args]
         bsz = x.shape[0]
         bb = min(block_b, bsz)
         # pad-to-block (see make_pallas_denoiser): exact, keeps MXU tiles
@@ -538,3 +573,8 @@ def make_pallas_lifter(
         return out[:bsz] if pad else out
 
     return fn
+
+
+def make_pallas_lifter(params: Dict[str, Any], basis: np.ndarray, **kw):
+    """Baked-weights wrapper over :func:`make_pallas_lifter_fn`."""
+    return functools.partial(make_pallas_lifter_fn(basis, **kw), params)

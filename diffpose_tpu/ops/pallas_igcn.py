@@ -31,17 +31,15 @@ from flax import linen as nn
 
 from diffpose_tpu.models.igcn import IGCN
 from diffpose_tpu.models.layers import timestep_embedding
-from diffpose_tpu.ops.pallas_denoiser import make_pallas_backbone
+from diffpose_tpu.ops.pallas_denoiser import make_pallas_backbone_fn
 
 Array = jax.Array
 
-__all__ = ["make_pallas_igcn"]
+__all__ = ["make_pallas_igcn", "make_pallas_igcn_fn"]
 
 
-def make_pallas_igcn(
+def make_pallas_igcn_fn(
     model: IGCN,
-    params: Dict[str, Any],
-    batch_stats: Dict[str, Any],
     *,
     block_b: int = 128,
     precision="bf16x3",
@@ -49,9 +47,11 @@ def make_pallas_igcn(
     vmem_limit_bytes=None,
     group: int = 1,
 ):
-    """Build ``fn(x, t, z0=None, z0_weight=None) → (out, aux)`` — the
-    fused-kernel equivalent of ``model.apply({"params", "batch_stats"},
-    x, t, train=False, differentiable=False)``.
+    """Build ``fn(params, batch_stats, x, t, z0=None, z0_weight=None) →
+    (out, aux)`` — the fused-kernel equivalent of ``model.apply({"params",
+    "batch_stats"}, x, t, train=False, differentiable=False)``, with the
+    weights as RUNTIME operands (one compiled program serves every weight
+    set; see ``make_pallas_denoiser_fn``).
 
     ``aux`` carries ``iterations``, ``residual`` and ``fixed_point`` (the
     warm-start carry), plus ``alpha`` for the damped solver — the same
@@ -61,37 +61,33 @@ def make_pallas_igcn(
     num_layers = model.num_layers
     f32 = jnp.float32
 
-    backbone = make_pallas_backbone(
-        params, model.basis,
+    backbone = make_pallas_backbone_fn(
+        model.basis,
         num_layers=num_layers, num_heads=model.num_heads, hid_dim=hid,
         block_b=block_b, precision=precision, interpret=interpret,
         vmem_limit_bytes=vmem_limit_bytes, group=group,
     )
 
     basis_j = jnp.asarray(model.basis, f32)
-    asf = lambda p: jnp.asarray(p, f32)
-    win, bin_ = asf(params["gconv_input"]["w"]), asf(params["gconv_input"]["b"])
-    wout, bout = asf(params["gconv_output"]["w"]), asf(params["gconv_output"]["b"])
-    t0k, t0b = asf(params["temb_dense_0"]["kernel"]), asf(params["temb_dense_0"]["bias"])
-    t1k, t1b = asf(params["temb_dense_1"]["kernel"]), asf(params["temb_dense_1"]["bias"])
-    wtp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["kernel"])
-                     for i in range(num_layers)])
-    btp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["bias"])
-                     for i in range(num_layers)])
-    bn_scale, bn_bias = asf(params["bn_scale"]), asf(params["bn_bias"])
-    bn_mean, bn_var = asf(batch_stats["bn_mean"]), asf(batch_stats["bn_var"])
 
     def cheb(x, w, b):
         xk = jnp.einsum("knm,bmc->bnkc", basis_j, x)
         return jnp.einsum("bnkc,kcd->bnd", xk, w) + b
 
-    def f(z, tp):
+    def make_f(params, batch_stats):
         """The fixed-point function: kernel stack + eval-mode BatchNorm."""
-        out = backbone(z, tp)
-        flat = out.reshape(-1, hid)
-        y = (flat - bn_mean) * jax.lax.rsqrt(bn_var + 1e-5)
-        y = y * bn_scale + bn_bias
-        return y.reshape(out.shape)
+        asf = lambda p: jnp.asarray(p, f32)
+        bn_scale, bn_bias = asf(params["bn_scale"]), asf(params["bn_bias"])
+        bn_mean, bn_var = asf(batch_stats["bn_mean"]), asf(batch_stats["bn_var"])
+
+        def f(z, tp):
+            out = backbone(params, z, tp)
+            flat = out.reshape(-1, hid)
+            y = (flat - bn_mean) * jax.lax.rsqrt(bn_var + 1e-5)
+            y = y * bn_scale + bn_bias
+            return y.reshape(out.shape)
+
+        return f
 
     def converged(z, z_prev):
         return jnp.linalg.norm(z - z_prev) / (jnp.linalg.norm(z_prev) + 1e-8)
@@ -100,7 +96,7 @@ def make_pallas_igcn(
 
     # ----- solvers: while_loop eval twins of IGCN._solve_* ----------------
 
-    def solve_damped(z, tp, tol):
+    def solve_damped(f, z, tp, tol):
         adaptive = model.use_adaptive_alpha
 
         def body(carry):
@@ -128,7 +124,7 @@ def make_pallas_igcn(
         z_star, err, alpha, iters, _ = carry
         return z_star, {"iterations": iters, "residual": err, "alpha": alpha}
 
-    def solve_anderson(z, tp, tol):
+    def solve_anderson(f, z, tp, tol):
         m = min(model.anderson_m, max_it)
         beta = model.anderson_beta
         lam = model.anderson_lambda
@@ -189,12 +185,25 @@ def make_pallas_igcn(
     solve = solve_anderson if model.solver == "anderson" else solve_damped
 
     def fn(
+        params: Dict[str, Any],
+        batch_stats: Dict[str, Any],
         x: Array,
         t: Array,
         z0: Optional[Array] = None,
         z0_weight: Optional[Array] = None,
         tolerance_override: Optional[Array] = None,
     ):
+        asf = lambda p: jnp.asarray(p, f32)
+        win, bin_ = asf(params["gconv_input"]["w"]), asf(params["gconv_input"]["b"])
+        wout, bout = asf(params["gconv_output"]["w"]), asf(params["gconv_output"]["b"])
+        t0k, t0b = asf(params["temb_dense_0"]["kernel"]), asf(params["temb_dense_0"]["bias"])
+        t1k, t1b = asf(params["temb_dense_1"]["kernel"]), asf(params["temb_dense_1"]["bias"])
+        wtp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["kernel"])
+                         for i in range(num_layers)])
+        btp = jnp.stack([asf(params[f"res_{i}"]["temb_proj"]["bias"])
+                         for i in range(num_layers)])
+        f = make_f(params, batch_stats)
+
         temb = timestep_embedding(t.astype(f32), hid)
         temb = nn.swish(temb @ t0k + t0b) @ t1k + t1b
         st = nn.swish(temb)
@@ -213,8 +222,22 @@ def make_pallas_igcn(
             model.tolerance if tolerance_override is None else tolerance_override,
             f32,
         )
-        z_star, aux = solve(z, tp, tol)
+        z_star, aux = solve(f, z, tp, tol)
         y = cheb(z_star, wout, bout)
         return y, {**aux, "fixed_point": z_star}
 
     return fn
+
+
+def make_pallas_igcn(
+    model: IGCN,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    **kw,
+):
+    """Baked-weights wrapper over :func:`make_pallas_igcn_fn` —
+    ``fn(x, t, z0=None, z0_weight=None) → (out, aux)`` with the weights
+    fixed at build time (probes/tests; runners use the ``_fn`` variant)."""
+    import functools
+
+    return functools.partial(make_pallas_igcn_fn(model, **kw), params, batch_stats)

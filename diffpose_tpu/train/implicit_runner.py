@@ -177,6 +177,72 @@ class ImplicitRunner(DiffposeRunner):
         with jax.default_matmul_precision(self.eval_matmul_precision):
             return self._evaluate_implicit(is_train=is_train, state=state)
 
+    def _implicit_pallas_overrides(self):
+        """Weight-free fused-kernel closures (built once, cached).
+
+        The fixed-point solve runs the 5-layer stack as one VMEM-resident
+        Pallas kernel per iteration (parity-grade bf16x3 matmuls), the lift
+        as another (``ops/pallas_igcn.py``).  Both take the weights as
+        RUNTIME operands — the eval step feeds them the exact weights under
+        evaluation from ``state``, so per-epoch eval never re-traces.
+        """
+        if self.denoiser_impl != "pallas":
+            return None, None
+        cached = self._eval_cache.get("pallas_overrides_implicit")
+        if cached is None:
+            from diffpose_tpu.ops.pallas_denoiser import make_pallas_lifter_fn
+            from diffpose_tpu.ops.pallas_igcn import make_pallas_igcn_fn
+
+            m = self.config.model
+            interpret = jax.default_backend() != "tpu"
+            cached = (
+                make_pallas_igcn_fn(
+                    self.model_diff, precision="bf16x3", interpret=interpret,
+                ),
+                make_pallas_lifter_fn(
+                    self.basis,
+                    num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
+                    precision="bf16x3", interpret=interpret,
+                ),
+            )
+            self._eval_cache["pallas_overrides_implicit"] = cached
+        return cached
+
+    def _get_implicit_eval_fn(self, warm: bool):
+        """The jitted direct-inference eval step — built once, reused."""
+        key = ("implicit_eval_fn", warm)
+        fn = self._eval_cache.get(key)
+        if fn is not None:
+            return fn
+        self._eval_builds += 1
+        t_cfg = self.config.testing
+        solve_override, lift_override = self._implicit_pallas_overrides()
+        if self.mesh is not None:
+            # Frames shard over `data`; each shard solves independently —
+            # the reference's chunked-eval semantics (one fixed-point solve
+            # per chunk, implicit_pose.py:523-526), chunk = shard.
+            from diffpose_tpu.parallel.sharding import make_sharded_implicit_eval_step
+
+            fn = make_sharded_implicit_eval_step(
+                self.model_diff, self.model_pose, self.mesh,
+                t_infer=t_cfg.test_num_diffusion_timesteps,
+                test_times=t_cfg.test_times, mask=self.mask,
+                use_ema=self.use_ema_eval, use_warm_start=warm,
+                solve_override=solve_override, lift_override=lift_override,
+            )
+        else:
+            fn = jax.jit(
+                make_implicit_eval_step(
+                    self.model_diff, self.model_pose,
+                    t_infer=t_cfg.test_num_diffusion_timesteps,
+                    test_times=t_cfg.test_times, mask=self.mask,
+                    use_ema=self.use_ema_eval, use_warm_start=warm,
+                    solve_override=solve_override, lift_override=lift_override,
+                )
+            )
+        self._eval_cache[key] = fn
+        return fn
+
     def _evaluate_implicit(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         assert self.model_diff is not None and self.model_pose is not None
         assert self.test_data is not None and self.pose_params is not None
@@ -192,55 +258,7 @@ class ImplicitRunner(DiffposeRunner):
 
         imp = self.config.implicit or ImplicitConfig()
         warm = imp.use_warm_start
-        solve_override = lift_override = None
-        if self.denoiser_impl == "pallas":
-            # Fused whole-network kernels from the exact weights under
-            # evaluation: the fixed-point solve runs the 5-layer stack as
-            # one VMEM-resident Pallas kernel per iteration (parity-grade
-            # bf16x3 matmuls), the lift as another (ops/pallas_igcn.py).
-            from diffpose_tpu.ops.pallas_denoiser import make_pallas_lifter
-            from diffpose_tpu.ops.pallas_igcn import make_pallas_igcn
-
-            eval_params = (
-                state.ema_params
-                if (self.use_ema_eval and state.ema_params is not None)
-                else state.params
-            )
-            as_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
-            m = self.config.model
-            interpret = jax.default_backend() != "tpu"
-            solve_override = make_pallas_igcn(
-                self.model_diff, as_np(eval_params), as_np(state.model_state),
-                precision="bf16x3", interpret=interpret,
-            )
-            lift_override = make_pallas_lifter(
-                as_np(self.pose_params), self.basis,
-                num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
-                precision="bf16x3", interpret=interpret,
-            )
-        if self.mesh is not None:
-            # Frames shard over `data`; each shard solves independently —
-            # the reference's chunked-eval semantics (one fixed-point solve
-            # per chunk, implicit_pose.py:523-526), chunk = shard.
-            from diffpose_tpu.parallel.sharding import make_sharded_implicit_eval_step
-
-            eval_fn = make_sharded_implicit_eval_step(
-                self.model_diff, self.model_pose, self.mesh,
-                t_infer=t_cfg.test_num_diffusion_timesteps,
-                test_times=t_cfg.test_times, mask=self.mask,
-                use_ema=self.use_ema_eval, use_warm_start=warm,
-                solve_override=solve_override, lift_override=lift_override,
-            )
-        else:
-            eval_fn = jax.jit(
-                make_implicit_eval_step(
-                    self.model_diff, self.model_pose,
-                    t_infer=t_cfg.test_num_diffusion_timesteps,
-                    test_times=t_cfg.test_times, mask=self.mask,
-                    use_ema=self.use_ema_eval, use_warm_start=warm,
-                    solve_override=solve_override, lift_override=lift_override,
-                )
-            )
+        eval_fn = self._get_implicit_eval_fn(warm)
 
         loader = self._make_loader(self.test_data, shuffle=False)
         acc = ActionErrorAccumulator(

@@ -148,10 +148,13 @@ def make_implicit_eval_step(
     additionally returns the solved fixed point for the caller to carry to
     the next batch (reference ``igcn.py:309-313, 433``).
 
-    ``solve_override(x, t, z0=, z0_weight=) → (out, aux)`` /
-    ``lift_override(x2d) → xyz`` swap the module forwards for fused Pallas
-    kernels built from the exact weights under evaluation (see
-    ``ops/pallas_igcn.py``); semantics are identical.
+    ``solve_override(params, batch_stats, x, t, z0=, z0_weight=) →
+    (out, aux)`` / ``lift_override(pose_params, x2d) → xyz`` swap the
+    module forwards for fused Pallas kernels (see ``ops/pallas_igcn.py``);
+    semantics are identical.  Overrides take the weights as RUNTIME
+    arguments — the step feeds them the exact weights under evaluation
+    (EMA shadow or live) from ``state``, so one compiled step serves every
+    epoch's weights with zero re-tracing.
     """
     if (solve_override is not None or lift_override is not None) and mask is not None:
         # The fused kernels bake in the reference's all-True mask
@@ -168,7 +171,7 @@ def make_implicit_eval_step(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
         )
         if lift_override is not None:
-            xyz = lift_override(input_2d)
+            xyz = lift_override(pose_params, input_2d)
         else:
             xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
         xyz = xyz - xyz[:, :1, :]
@@ -177,7 +180,10 @@ def make_implicit_eval_step(
 
         t_vec = jnp.full((uvxyz.shape[0],), float(t_infer), uvxyz.dtype)
         if solve_override is not None:
-            out, aux = solve_override(uvxyz, t_vec, z0=z0, z0_weight=z0_weight)
+            out, aux = solve_override(
+                params, state.model_state, uvxyz, t_vec,
+                z0=z0, z0_weight=z0_weight,
+            )
         else:
             out, aux = implicit_model.apply(
                 {"params": params, "batch_stats": state.model_state},

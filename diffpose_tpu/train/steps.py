@@ -165,9 +165,12 @@ def make_eval_step(
 ):
     """Build the fused evaluation step (lift → DDIM scan → hypothesis mean).
 
-    ``denoise_override(x, t) → ε̂`` / ``lift_override(x2d) → xyz``
-    substitute the denoiser / lifter forwards (e.g. the fused Pallas
-    kernels built from the same weights); the module path is the default.
+    ``denoise_override(params, x, t) → ε̂`` / ``lift_override(pose_params,
+    x2d) → xyz`` substitute the denoiser / lifter forwards (e.g. the fused
+    Pallas kernels, ``ops.pallas_denoiser.make_pallas_{denoiser,lifter}_fn``);
+    the module path is the default.  Overrides take the weights as RUNTIME
+    arguments — the step receives them through ``state``/``pose_params``
+    like the module path, so one compiled step serves every weight set.
 
     ``hyp_axis``/``hyp_size``: hypothesis parallelism (survey §2.6) — when
     the step runs inside ``shard_map`` over a 2-D ``(data, hypothesis)``
@@ -216,7 +219,7 @@ def make_eval_step(
             k_gmm, batch["seeds"], batch["poses_2d_gmm"], batch["poses_3d"]
         )
         if lift_override is not None:
-            xyz = lift_override(input_2d)
+            xyz = lift_override(pose_params, input_2d)
         else:
             xyz = pose_model.apply({"params": pose_params}, input_2d, mask)
         xyz = xyz - xyz[:, :1, :]
@@ -231,7 +234,7 @@ def make_eval_step(
 
         def denoise(x, t):
             if denoise_override is not None:
-                return denoise_override(x, t)
+                return denoise_override(params, x, t)
             return diff_model.apply({"params": params}, x, t, mask)
 
         out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=k_ddim)

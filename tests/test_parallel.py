@@ -197,8 +197,8 @@ def test_sharded_eval_with_pallas_overrides_matches_module():
     """Fused-kernel eval composes with the data mesh: the overrides run
     per-device on the local shard inside shard_map (interpret mode here)."""
     from diffpose_tpu.ops.pallas_denoiser import (
-        make_pallas_denoiser,
-        make_pallas_lifter,
+        make_pallas_denoiser_fn,
+        make_pallas_lifter_fn,
     )
 
     mesh = make_mesh()
@@ -218,8 +218,8 @@ def test_sharded_eval_with_pallas_overrides_matches_module():
     kw = dict(num_layers=2, num_heads=4, hid_dim=32, block_b=4, interpret=True)
     fused = make_sharded_eval_step(
         diff, pose, BETAS, (0, 12), mesh, test_times=1,
-        denoise_override=make_pallas_denoiser(state.params, BASIS, **kw),
-        lift_override=make_pallas_lifter(pose_params, BASIS, **kw),
+        denoise_override=make_pallas_denoiser_fn(BASIS, **kw),
+        lift_override=make_pallas_lifter_fn(BASIS, **kw),
     )
     p1_p, p2_p, pred_p = fused(state, pose_params, batch, key)
 

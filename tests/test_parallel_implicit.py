@@ -141,8 +141,8 @@ def test_sharded_implicit_eval_with_pallas_solve_override():
     """The fused-kernel solve composes with the data mesh: each shard runs
     its own kernel-backed fixed-point solve (interpret mode here), matching
     the module path exactly at a fixed iteration count."""
-    from diffpose_tpu.ops.pallas_denoiser import make_pallas_lifter
-    from diffpose_tpu.ops.pallas_igcn import make_pallas_igcn
+    from diffpose_tpu.ops.pallas_denoiser import make_pallas_lifter_fn
+    from diffpose_tpu.ops.pallas_igcn import make_pallas_igcn_fn
     from diffpose_tpu.parallel.sharding import make_sharded_implicit_eval_step
 
     mesh = make_mesh()
@@ -171,11 +171,10 @@ def test_sharded_implicit_eval_with_pallas_solve_override():
 
     fused = make_sharded_implicit_eval_step(
         model, pose, mesh, t_infer=12,
-        solve_override=make_pallas_igcn(
-            model, variables["params"], variables["batch_stats"],
-            block_b=4, interpret=True, precision=None),
-        lift_override=make_pallas_lifter(
-            pose_params, BASIS, num_layers=2, num_heads=4, hid_dim=32,
+        solve_override=make_pallas_igcn_fn(
+            model, block_b=4, interpret=True, precision=None),
+        lift_override=make_pallas_lifter_fn(
+            BASIS, num_layers=2, num_heads=4, hid_dim=32,
             block_b=4, interpret=True),
     )
     p1_p, p2_p, pred_p, iters_p = fused(
