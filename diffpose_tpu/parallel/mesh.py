@@ -22,13 +22,24 @@ def distributed_init(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_collectives: Optional[str] = None,
 ) -> Tuple[int, int]:
     """Initialize multi-host JAX (DCN) if applicable; returns (index, count).
 
     Safe to call in single-process jobs (no-op).  With TPU pod slices the
     arguments are auto-detected from the environment.
+
+    ``cpu_collectives`` ("gloo" or "mpi") selects the CPU cross-process
+    collective backend — required for multi-process runs on the CPU
+    platform (the harness for testing the process boundary without a pod:
+    ``tests/test_multiprocess.py`` / ``scripts/mp_worker.py``).  TPU runs
+    leave it None (collectives ride ICI/DCN via the TPU runtime).
     """
     if num_processes is not None and num_processes > 1:
+        if cpu_collectives is not None:
+            jax.config.update(
+                "jax_cpu_collectives_implementation", cpu_collectives
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
