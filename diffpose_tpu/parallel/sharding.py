@@ -215,6 +215,76 @@ def make_sharded_implicit_train_step(
     return step
 
 
+def make_sharded_implicit_train_sweep_step(
+    model,
+    optimizer,
+    betas,
+    mesh: Mesh,
+    *,
+    sweep: int,
+    axis: str = "data",
+    ema_mu: Optional[float] = 0.999,
+    mask=None,
+    donate: bool = True,
+    use_warm_start: bool = False,
+    warm_start_momentum: float = 0.0,
+    tol_schedule=None,
+) -> Callable:
+    """Device-resident-data IGCN training × data parallelism: the implicit
+    sweep (``implicit_steps.make_implicit_train_sweep_step``) runs inside
+    ``shard_map`` — dataset replicated, the ``[sweep, B]`` index batch
+    axis sharded, grads/loss/batch_stats pmean'd over ``axis`` per scanned
+    step.  With warm start the fixed-point carry stays sharded over
+    ``axis`` (each shard warm-starts its own slice — never gathered)."""
+    from diffpose_tpu.train.implicit_steps import make_implicit_train_sweep_step
+
+    local_sweep = make_implicit_train_sweep_step(
+        model, optimizer, betas, sweep=sweep, ema_mu=ema_mu, mask=mask,
+        axis_name=axis, use_warm_start=use_warm_start,
+        warm_start_momentum=warm_start_momentum, tol_schedule=tol_schedule,
+    )
+    keys = ("poses_2d_gmm", "poses_3d")
+
+    if use_warm_start:
+        def local_step(state, data, idx, key, z0, z0_weight):
+            new_state, metrics = local_sweep(state, data, idx, key, z0, z0_weight)
+            fp = metrics.pop("fixed_point")
+            return new_state, metrics, fp
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), {k: P() for k in keys}, P(None, axis), P(),
+                      P(axis), P()),
+            out_specs=(P(), P(), P(axis)),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+        def step(state, data, idx, key, z0, z0_weight):
+            new_state, metrics, fp = jitted(
+                state, {k: data[k] for k in keys}, idx, key, z0, z0_weight
+            )
+            metrics["fixed_point"] = fp
+            return new_state, metrics
+
+        return step
+
+    sharded = jax.shard_map(
+        local_sweep,
+        mesh=mesh,
+        in_specs=(P(), {k: P() for k in keys}, P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def step(state, data, idx, key):
+        return jitted(state, {k: data[k] for k in keys}, idx, key)
+
+    return step
+
+
 def make_sharded_implicit_eval_step(
     implicit_model,
     pose_model,

@@ -92,9 +92,86 @@ class ImplicitRunner(DiffposeRunner):
         return self.model_diff
 
     def _supports_train_sweep(self) -> bool:
-        # The device-resident sweep step is GCNDiff-shaped (no batch_stats
-        # collection, no warm-start carry); only the degraded mode uses it.
-        return not self.use_implicit
+        # make_implicit_train_sweep_step threads batch_stats + the
+        # warm-start fixed-point carry through the scan, so the implicit
+        # family now rides the device-resident sweep too.
+        return True
+
+    def _build_sweep_fn(self, optimizer, n: int):
+        """The implicit sweep: batch_stats ride ``TrainState.model_state``
+        through the scan; with warm start the fixed-point carry stays ON
+        DEVICE across dispatches (the per-batch path ships it host↔device
+        every step — the r1 '30 ms mystery', docs/PERF.md)."""
+        if not self.use_implicit:
+            return super()._build_sweep_fn(optimizer, n)
+        ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        imp = self.config.implicit or ImplicitConfig()
+        warm = imp.use_warm_start
+        tol_schedule = (
+            (imp.init_tol, imp.final_tol, imp.tol_decay_steps)
+            if imp.use_progressive_tol
+            else None
+        )
+        from diffpose_tpu.train.implicit_steps import make_implicit_train_sweep_step
+
+        if self.mesh is not None:
+            from diffpose_tpu.parallel.sharding import (
+                make_sharded_implicit_train_sweep_step,
+            )
+
+            fn = make_sharded_implicit_train_sweep_step(
+                self.model_diff, optimizer, self.betas, self.mesh,
+                sweep=n, ema_mu=ema_mu, mask=self.mask,
+                use_warm_start=warm,
+                warm_start_momentum=imp.warm_start_momentum,
+                tol_schedule=tol_schedule,
+            )
+        else:
+            base_step = self._implicit_pallas_train_base(optimizer, ema_mu,
+                                                         tol_schedule, warm)
+            fn = jax.jit(
+                make_implicit_train_sweep_step(
+                    self.model_diff, optimizer, self.betas,
+                    sweep=n, ema_mu=ema_mu, mask=self.mask,
+                    use_warm_start=warm,
+                    warm_start_momentum=imp.warm_start_momentum,
+                    tol_schedule=tol_schedule, base_step=base_step,
+                ),
+                donate_argnums=(0,),
+            )
+        if warm:
+            fn = self._wrap_warm_start_sweep(fn, imp.warm_start_momentum)
+        return fn
+
+    def _implicit_pallas_train_base(self, optimizer, ema_mu, tol_schedule, warm):
+        """Hook for a fused-kernel implicit train step (None = module path)."""
+        return None
+
+    def _wrap_warm_start_sweep(self, raw_sweep, momentum: float):
+        """Warm-start carry across sweep DISPATCHES, shared between the main
+        and tail sweep fns so the epoch-long carry is seamless (within a
+        dispatch the scan carries it; reference ``igcn.py:309-313``)."""
+        m = self.config.model
+        carry = getattr(self, "_sweep_warm_carry", None)
+        if carry is None:
+            carry = self._sweep_warm_carry = {"z0": None, "w": 0.0}
+
+        def step(state, data, idx, key):
+            if carry["z0"] is None:
+                carry["z0"] = jnp.zeros((idx.shape[1], m.n_pts, m.hid_dim))
+            new_state, metrics = raw_sweep(
+                state, data, idx, key, carry["z0"],
+                jnp.asarray(carry["w"], jnp.float32),
+            )
+            carry["z0"] = metrics.pop("fixed_point")
+            carry["w"] = momentum
+            return new_state, metrics
+
+        def reset():
+            carry["z0"], carry["w"] = None, 0.0
+
+        step.reset = reset
+        return step
 
     def init_state(self, optimizer) -> TrainState:
         if not self.use_implicit:

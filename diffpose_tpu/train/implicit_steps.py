@@ -129,6 +129,85 @@ def make_implicit_train_step(
     return train_step
 
 
+def make_implicit_train_sweep_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    betas: np.ndarray,
+    *,
+    sweep: int,
+    ema_mu: Optional[float] = 0.999,
+    mask: Optional[Array] = None,
+    axis_name: Optional[str] = None,
+    use_warm_start: bool = False,
+    warm_start_momentum: float = 0.0,
+    tol_schedule: Optional[Tuple[float, float, int]] = None,
+    base_step=None,
+):
+    """Device-resident-data IGCN training: ``sweep`` optimizer steps per
+    dispatch (the implicit twin of ``steps.make_train_sweep_step``).
+
+    Everything the implicit step threads — BatchNorm ``batch_stats``
+    (inside ``TrainState.model_state``) and, with ``use_warm_start``, the
+    previous step's fixed point — rides the ``lax.scan`` carry, so the
+    whole-epoch semantics match ``sweep`` sequential calls of
+    :func:`make_implicit_train_step` exactly (tested).  The warm-start
+    weight is the caller's ``z0_weight`` for the first scanned step and
+    ``warm_start_momentum`` for the rest (the reference applies the
+    momentum blend from the second batch on, ``igcn.py:309-313``).
+
+    Returns ``step(state, data, idx, key[, z0, z0_weight]) →
+    (state, metrics)`` with per-step ``[sweep]`` metric vectors; with
+    warm start, ``metrics["fixed_point"]`` is the LAST step's solution
+    (the carry for the next dispatch).
+
+    ``base_step``: inject a fused-kernel implicit step (e.g.
+    ``ops.pallas_igcn_train.make_pallas_implicit_train_step``'s core) in
+    place of the module-path step.
+    """
+    base = base_step or make_implicit_train_step(
+        model, optimizer, betas, ema_mu=ema_mu, mask=mask,
+        axis_name=axis_name, use_warm_start=use_warm_start,
+        tol_schedule=tol_schedule,
+    )
+    names = ("poses_2d_gmm", "poses_3d")
+
+    if not use_warm_start:
+        def sweep_step(state: TrainState, data: dict, idx: Array, key: Array):
+            keys = jax.random.split(key, sweep)
+
+            def body(st, args):
+                ids, k = args
+                batch = {nm: jnp.take(data[nm], ids, axis=0) for nm in names}
+                st, metrics = base(st, batch, k)
+                return st, metrics
+
+            state, metrics = jax.lax.scan(body, state, (idx, keys))
+            return state, metrics
+
+        return sweep_step
+
+    def sweep_step(state: TrainState, data: dict, idx: Array, key: Array,
+                   z0: Array, z0_weight: Array):
+        keys = jax.random.split(key, sweep)
+        mom = jnp.asarray(warm_start_momentum, jnp.float32)
+
+        def body(carry, args):
+            st, z0, w = carry
+            ids, k = args
+            batch = {nm: jnp.take(data[nm], ids, axis=0) for nm in names}
+            st, metrics = base(st, batch, k, z0, w)
+            fp = metrics.pop("fixed_point")
+            return (st, fp, mom), metrics
+
+        (state, fp, _), metrics = jax.lax.scan(
+            body, (state, z0, jnp.asarray(z0_weight, jnp.float32)), (idx, keys)
+        )
+        metrics["fixed_point"] = fp
+        return state, metrics
+
+    return sweep_step
+
+
 def make_implicit_eval_step(
     implicit_model,
     pose_model,

@@ -332,13 +332,55 @@ class DiffposeRunner:
         return optimizer, step_fn
 
     def _supports_train_sweep(self) -> bool:
-        """Whether ``--train_sweep`` can replace this runner's train step.
-
-        The sweep step (make_train_sweep_step) assembles GCNDiff batches on
-        device from the raw dataset; subclasses whose step needs extra
-        threading (IGCN batch_stats, warm-start carry) override this.
-        """
+        """Whether ``--train_sweep`` can replace this runner's train step."""
         return True
+
+    def _device_train_data(self) -> dict:
+        """Stage the whole train set into HBM (replicated over the mesh)."""
+        if self.mesh is not None:
+            from diffpose_tpu.parallel.sharding import replicated
+
+            rep = replicated(self.mesh)
+            put = lambda v: jax.device_put(v, rep)
+        else:
+            put = jax.device_put
+        return {
+            "poses_3d": put(self.train_data.poses_3d),
+            "poses_2d_gmm": put(self.train_data.poses_2d_gmm),
+        }
+
+    def _build_sweep_fn(self, optimizer, n: int):
+        """Build the ``n``-step device-resident sweep dispatch (overridable:
+        the implicit runner threads batch_stats + the warm-start carry)."""
+        ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        if self.mesh is not None:
+            from diffpose_tpu.parallel.sharding import make_sharded_train_sweep_step
+
+            return make_sharded_train_sweep_step(
+                self.model_diff, optimizer, self.betas, self.mesh,
+                sweep=n, ema_mu=ema_mu, mask=self.mask,
+            )
+        from diffpose_tpu.train.steps import make_train_sweep_step
+
+        base_step = None
+        if self.train_impl == "pallas":
+            from diffpose_tpu.ops.pallas_train import make_pallas_train_step
+
+            m = self.config.model
+            base_step = make_pallas_train_step(
+                optimizer, self.betas, self.basis,
+                num_layers=m.num_layer, num_heads=m.n_head,
+                hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
+                **self._pallas_step_kwargs(in_sweep=True),
+            )
+        return jax.jit(
+            make_train_sweep_step(
+                self.model_diff, optimizer, self.betas,
+                sweep=n, ema_mu=ema_mu, mask=self.mask,
+                base_step=base_step,
+            ),
+            donate_argnums=(0,),
+        )
 
     def init_state(self, optimizer) -> TrainState:
         params = self._params_diff_init
@@ -386,57 +428,10 @@ class DiffposeRunner:
                 "path", self.train_sweep,
             )
         if use_sweep:
-            ema_mu = self.config.model.ema_rate if self.config.model.ema else None
-            if self.mesh is not None:
-                from diffpose_tpu.parallel.sharding import (
-                    make_sharded_train_sweep_step,
-                    replicated,
-                )
-
-                rep = replicated(self.mesh)
-                data_dev = {
-                    "poses_3d": jax.device_put(self.train_data.poses_3d, rep),
-                    "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm, rep),
-                }
-
-                def build_sweep(n):
-                    return make_sharded_train_sweep_step(
-                        self.model_diff, optimizer, self.betas, self.mesh,
-                        sweep=n, ema_mu=ema_mu, mask=self.mask,
-                    )
-            else:
-                from diffpose_tpu.train.steps import make_train_sweep_step
-
-                data_dev = {
-                    "poses_3d": jax.device_put(self.train_data.poses_3d),
-                    "poses_2d_gmm": jax.device_put(self.train_data.poses_2d_gmm),
-                }
-
-                base_step = None
-                if self.train_impl == "pallas":
-                    from diffpose_tpu.ops.pallas_train import make_pallas_train_step
-
-                    m = self.config.model
-                    base_step = make_pallas_train_step(
-                        optimizer, self.betas, self.basis,
-                        num_layers=m.num_layer, num_heads=m.n_head,
-                        hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
-                        **self._pallas_step_kwargs(in_sweep=True),
-                    )
-
-                def build_sweep(n):
-                    return jax.jit(
-                        make_train_sweep_step(
-                            self.model_diff, optimizer, self.betas,
-                            sweep=n, ema_mu=ema_mu, mask=self.mask,
-                            base_step=base_step,
-                        ),
-                        donate_argnums=(0,),
-                    )
-
-            sweep_fn = build_sweep(self.train_sweep)
+            data_dev = self._device_train_data()
+            sweep_fn = self._build_sweep_fn(optimizer, self.train_sweep)
             tail = steps_per_epoch % self.train_sweep
-            tail_fn = build_sweep(tail) if tail else None
+            tail_fn = self._build_sweep_fn(optimizer, tail) if tail else None
 
         sharding = data_sharding(self.mesh) if self.mesh is not None else None
         for epoch in range(start_epoch, self.config.training.n_epochs):
@@ -444,6 +439,9 @@ class DiffposeRunner:
             # per-epoch reset hook (implicit warm-start history — the
             # reference's reset_history call, implicit_pose.py:319-320)
             getattr(step_fn, "reset", lambda: None)()
+            if use_sweep:
+                getattr(sweep_fn, "reset", lambda: None)()
+                getattr(tail_fn, "reset", lambda: None)()
             # Every step's loss counts (the reference averages every step,
             # runners/diffpose_frame.py:233) — but fetched ASYNC: the device
             # scalars are collected and converted once at epoch end, so the
