@@ -77,14 +77,13 @@ def main(argv=None) -> int:
     from diffpose_tpu.train.implicit_runner import ImplicitRunner
 
     if args.use_implicit:
-        # These knobs live on the GCNDiff paths; the fixed-point eval has
-        # no DDIM sweep, and the fused TRAIN kernels are GCNDiff-shaped.
-        # (--denoiser_impl pallas DOES apply: it selects the fused
-        # fixed-point inference kernels, ops/pallas_igcn.py.)
+        # The fixed-point eval has no DDIM sweep to batch.
+        # (--denoiser_impl pallas selects the fused fixed-point inference
+        # kernels, ops/pallas_igcn.py; --train_impl pallas selects the
+        # fused backprop-through-the-solve train step,
+        # ops/pallas_igcn_train.py.)
         if args.eval_sweep > 1:
             logging.warning("--eval_sweep has no effect with --use_implicit")
-        if args.train_impl != "module":
-            logging.warning("--train_impl has no effect with --use_implicit")
 
     try:
         runner = ImplicitRunner(

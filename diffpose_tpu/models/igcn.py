@@ -39,6 +39,7 @@ from diffpose_tpu.models.layers import (
     TorchDense,
     timestep_embedding,
 )
+from diffpose_tpu.models.solvers import solve_anderson, solve_damped
 
 Array = jax.Array
 
@@ -200,17 +201,8 @@ class IGCN(nn.Module):
         return err
 
     def _solve_damped(self, z: Array, temb: Array, mask, train: bool, differentiable: bool, tol: Array):
-        """Damped iteration ``z ← (1−α) z + α f(z)`` (igcn.py:250-282).
-
-        With ``use_adaptive_alpha`` the relaxation is residual-monitored:
-        α grows ×1.25 when the relative update shrank (take bolder steps),
-        halves when it grew (back off), clamped to [min_alpha, max_alpha] —
-        the standard adaptive-relaxation heuristic the reference's config
-        names but never implements.  α lives in the loop carry, so the
-        whole schedule stays one compiled device loop.
-        """
-        adaptive = self.use_adaptive_alpha
-
+        """Damped iteration (igcn.py:250-282) — shared solver, see
+        :mod:`diffpose_tpu.models.solvers`."""
         if self.is_initializing():
             # Param creation must happen OUTSIDE the device loop (creating
             # them inside lax.while_loop leaks tracers); one plain step
@@ -224,113 +216,30 @@ class IGCN(nn.Module):
             }
             return z1, aux, stats
 
-        def body(carry, _=None):
-            z, prev_err, alpha, it, done, stats = carry
-            fz, new_stats = self._f(z, temb, mask, train)
-            z_new = (1 - alpha) * z + alpha * fz
-            err = self._converged(z_new, z)
-            if adaptive:
-                grown = jnp.minimum(alpha * 1.25, self.max_alpha)
-                shrunk = jnp.maximum(alpha * 0.5, self.min_alpha)
-                alpha_new = jnp.where(err < prev_err, grown, shrunk)
-                alpha = jnp.where(done, alpha, alpha_new)
-            new_done = done | ((it + 1 >= self.min_iterations) & (err < tol))
-            z_out = jnp.where(done, z, z_new)
-            err_out = jnp.where(done, prev_err, err)
-            stats = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(done, old, new), stats, new_stats
-            )
-            return (z_out, err_out, alpha, it + jnp.where(done, 0, 1), new_done, stats), None
-
-        init = (
-            z, jnp.asarray(jnp.inf, z.dtype),
-            jnp.asarray(self.relaxation_alpha, z.dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-            (jnp.zeros((self.hid_dim,), z.dtype), jnp.ones((self.hid_dim,), z.dtype)),
+        return solve_damped(
+            lambda zz: self._f(zz, temb, mask, train), z, tol,
+            max_iterations=self.max_iterations,
+            min_iterations=self.min_iterations,
+            relaxation_alpha=self.relaxation_alpha,
+            use_adaptive_alpha=self.use_adaptive_alpha,
+            min_alpha=self.min_alpha, max_alpha=self.max_alpha,
+            differentiable=differentiable,
+            stats_init=(
+                jnp.zeros((self.hid_dim,), z.dtype),
+                jnp.ones((self.hid_dim,), z.dtype),
+            ),
         )
-        if differentiable:
-            carry, _ = jax.lax.scan(body, init, None, length=self.max_iterations)
-        else:
-            def cond(carry):
-                _, _, _, it, done, _ = carry
-                return (it < self.max_iterations) & (~done)
-
-            carry = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
-        z_star, err, alpha, iters, _, stats = carry
-        return z_star, {"iterations": iters, "residual": err, "alpha": alpha}, stats
 
     def _solve_anderson(self, z: Array, temb: Array, mask, train: bool, differentiable: bool, tol: Array):
-        """Anderson acceleration (igcn.py:293-438) with masked fixed-size history."""
-        m = min(self.anderson_m, self.max_iterations)
-        beta = self.anderson_beta
-        lam = self.anderson_lambda
-        d = z.size
-        X = jnp.zeros((m, d), z.dtype)
-        F = jnp.zeros((m, d), z.dtype)
-
-        fz0, stats0 = self._f(z, temb, mask, train)
-
-        def body(carry, _=None):
-            z, fz, X, F, _, it, done, stats = carry
-            residual = fz - z
-            z_flat = z.reshape(-1)
-            r_flat = residual.reshape(-1)
-
-            # History placement: slots fill 0..m-1, then roll (oldest out).
-            full = it >= m
-            Xs = jnp.where(full, jnp.roll(X, -1, axis=0), X)
-            Fs = jnp.where(full, jnp.roll(F, -1, axis=0), F)
-            slot = jnp.minimum(it, m - 1)
-            zero = jnp.zeros((), slot.dtype)  # match index dtype under x64
-            Xs = jax.lax.dynamic_update_slice(Xs, z_flat[None], (slot, zero))
-            Fs = jax.lax.dynamic_update_slice(Fs, r_flat[None], (slot, zero))
-
-            count = jnp.minimum(it + 1, m)
-            newest = count - 1
-            valid = (jnp.arange(m) < count)[:, None].astype(z.dtype)
-            dX = (Xs - Xs[newest][None]) * valid
-            dF = (Fs - Fs[newest][None]) * valid
-
-            gram = dF @ dF.T + lam * jnp.eye(m, dtype=z.dtype)
-            rhs = -(dF @ Fs[newest])
-            alpha = jnp.linalg.solve(gram, rhs)
-            alpha_sum = jnp.sum(alpha)
-            sum_ok = jnp.abs(alpha_sum) > 1e-10
-            # Safe denominator: the unselected branch of a where() must not
-            # produce NaN (0/0) or its cotangent poisons the whole backward
-            # pass through the scan.
-            safe_sum = jnp.where(sum_ok, alpha_sum, jnp.ones_like(alpha_sum))
-            alpha = jnp.where(sum_ok, alpha / safe_sum, valid[:, 0] / count)
-            z_and = (alpha @ Xs).reshape(z.shape) + beta * (alpha @ Fs).reshape(z.shape)
-
-            # First iteration / degenerate history → plain relaxed update
-            # (igcn.py:371-373, 402-404).
-            df_norm = jnp.linalg.norm(dF)
-            use_plain = (it < 1) | (df_norm < 1e-10)
-            z_new = jnp.where(use_plain, z + beta * residual, z_and)
-
-            fz_new, new_stats = self._f(z_new, temb, mask, train)
-            err = self._converged(z_new, z)
-            new_done = done | ((it + 1 >= self.min_iterations) & (err < tol))
-            z_out = jnp.where(done, z, z_new)
-            fz_out = jnp.where(done, fz, fz_new)
-            stats = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(done, old, new), stats, new_stats
-            )
-            return (z_out, fz_out, Xs, Fs, err, it + jnp.where(done, 0, 1), new_done, stats), None
-
-        init = (
-            z, fz0, X, F, jnp.asarray(jnp.inf, z.dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool), stats0,
+        """Anderson acceleration (igcn.py:293-438) — shared solver, see
+        :mod:`diffpose_tpu.models.solvers` (the solver's initial ``f(z)``
+        evaluation doubles as flax param creation outside the loop)."""
+        return solve_anderson(
+            lambda zz: self._f(zz, temb, mask, train), z, tol,
+            m=self.anderson_m, beta=self.anderson_beta,
+            lam=self.anderson_lambda,
+            max_iterations=self.max_iterations,
+            min_iterations=self.min_iterations,
+            differentiable=differentiable,
         )
-        if differentiable:
-            carry, _ = jax.lax.scan(body, init, None, length=self.max_iterations)
-        else:
-            def cond(carry):
-                _, _, _, _, _, it, done, _ = carry
-                return (it < self.max_iterations) & (~done)
-
-            carry = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
-        z_star, _, _, _, err, iters, _, stats = carry
-        return z_star, {"iterations": iters, "residual": err}, stats
 

@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from diffpose_tpu.models.igcn import IGCN
 from diffpose_tpu.models.layers import timestep_embedding
+from diffpose_tpu.models.solvers import solve_anderson, solve_damped
 from diffpose_tpu.ops.pallas_denoiser import make_pallas_backbone_fn
 
 Array = jax.Array
@@ -89,100 +90,30 @@ def make_pallas_igcn_fn(
 
         return f
 
-    def converged(z, z_prev):
-        return jnp.linalg.norm(z - z_prev) / (jnp.linalg.norm(z_prev) + 1e-8)
-
     max_it, min_it = model.max_iterations, model.min_iterations
 
-    # ----- solvers: while_loop eval twins of IGCN._solve_* ----------------
+    # ----- solvers: the shared while_loop eval twins of IGCN._solve_* -----
+    # (models/solvers.py; f returns no batch stats in eval mode → None
+    # rides the carry as an empty pytree)
 
-    def solve_damped(f, z, tp, tol):
-        adaptive = model.use_adaptive_alpha
-
-        def body(carry):
-            z, prev_err, alpha, it, done = carry
-            fz = f(z, tp)
-            z_new = (1 - alpha) * z + alpha * fz
-            err = converged(z_new, z)
-            if adaptive:
-                grown = jnp.minimum(alpha * 1.25, model.max_alpha)
-                shrunk = jnp.maximum(alpha * 0.5, model.min_alpha)
-                alpha_new = jnp.where(err < prev_err, grown, shrunk)
-                alpha = jnp.where(done, alpha, alpha_new)
-            new_done = done | ((it + 1 >= min_it) & (err < tol))
-            z_out = jnp.where(done, z, z_new)
-            err_out = jnp.where(done, prev_err, err)
-            return (z_out, err_out, alpha, it + jnp.where(done, 0, 1), new_done)
-
-        init = (
-            z, jnp.asarray(jnp.inf, z.dtype),
-            jnp.asarray(model.relaxation_alpha, z.dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-        )
-        carry = jax.lax.while_loop(
-            lambda c: (c[3] < max_it) & (~c[4]), body, init)
-        z_star, err, alpha, iters, _ = carry
-        return z_star, {"iterations": iters, "residual": err, "alpha": alpha}
-
-    def solve_anderson(f, z, tp, tol):
-        m = min(model.anderson_m, max_it)
-        beta = model.anderson_beta
-        lam = model.anderson_lambda
-        d = z.size
-        X = jnp.zeros((m, d), z.dtype)
-        F = jnp.zeros((m, d), z.dtype)
-        fz0 = f(z, tp)
-
-        def body(carry):
-            z, fz, X, F, _, it, done = carry
-            residual = fz - z
-            z_flat = z.reshape(-1)
-            r_flat = residual.reshape(-1)
-
-            full = it >= m
-            Xs = jnp.where(full, jnp.roll(X, -1, axis=0), X)
-            Fs = jnp.where(full, jnp.roll(F, -1, axis=0), F)
-            slot = jnp.minimum(it, m - 1)
-            zero = jnp.zeros((), slot.dtype)
-            Xs = jax.lax.dynamic_update_slice(Xs, z_flat[None], (slot, zero))
-            Fs = jax.lax.dynamic_update_slice(Fs, r_flat[None], (slot, zero))
-
-            count = jnp.minimum(it + 1, m)
-            newest = count - 1
-            valid = (jnp.arange(m) < count)[:, None].astype(z.dtype)
-            dX = (Xs - Xs[newest][None]) * valid
-            dF = (Fs - Fs[newest][None]) * valid
-
-            gram = dF @ dF.T + lam * jnp.eye(m, dtype=z.dtype)
-            rhs = -(dF @ Fs[newest])
-            alpha = jnp.linalg.solve(gram, rhs)
-            alpha_sum = jnp.sum(alpha)
-            sum_ok = jnp.abs(alpha_sum) > 1e-10
-            safe_sum = jnp.where(sum_ok, alpha_sum, jnp.ones_like(alpha_sum))
-            alpha = jnp.where(sum_ok, alpha / safe_sum, valid[:, 0] / count)
-            z_and = (alpha @ Xs).reshape(z.shape) + beta * (alpha @ Fs).reshape(z.shape)
-
-            df_norm = jnp.linalg.norm(dF)
-            use_plain = (it < 1) | (df_norm < 1e-10)
-            z_new = jnp.where(use_plain, z + beta * residual, z_and)
-
-            fz_new = f(z_new, tp)
-            err = converged(z_new, z)
-            new_done = done | ((it + 1 >= min_it) & (err < tol))
-            z_out = jnp.where(done, z, z_new)
-            fz_out = jnp.where(done, fz, fz_new)
-            return (z_out, fz_out, Xs, Fs, err, it + jnp.where(done, 0, 1), new_done)
-
-        init = (
-            z, fz0, X, F, jnp.asarray(jnp.inf, z.dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-        )
-        carry = jax.lax.while_loop(
-            lambda c: (c[5] < max_it) & (~c[6]), body, init)
-        z_star, _, _, _, err, iters, _ = carry
-        return z_star, {"iterations": iters, "residual": err}
-
-    solve = solve_anderson if model.solver == "anderson" else solve_damped
+    def solve(f, z, tp, tol):
+        f1 = lambda zz: (f(zz, tp), None)
+        if model.solver == "anderson":
+            z_star, aux, _ = solve_anderson(
+                f1, z, tol,
+                m=model.anderson_m, beta=model.anderson_beta,
+                lam=model.anderson_lambda,
+                max_iterations=max_it, min_iterations=min_it,
+            )
+        else:
+            z_star, aux, _ = solve_damped(
+                f1, z, tol,
+                max_iterations=max_it, min_iterations=min_it,
+                relaxation_alpha=model.relaxation_alpha,
+                use_adaptive_alpha=model.use_adaptive_alpha,
+                min_alpha=model.min_alpha, max_alpha=model.max_alpha,
+            )
+        return z_star, aux
 
     def fn(
         params: Dict[str, Any],

@@ -155,6 +155,7 @@ def make_sharded_implicit_train_step(
     donate: bool = True,
     use_warm_start: bool = False,
     tol_schedule=None,
+    base_step: Optional[Callable] = None,
 ) -> Callable:
     """Data-parallel IGCN training: grads, loss AND BatchNorm batch stats
     are pmean-reduced over the mesh axis (ICI).
@@ -165,10 +166,14 @@ def make_sharded_implicit_train_step(
 
     ``tol_schedule``: progressive solver tolerance, forwarded to
     :func:`make_implicit_train_step` (computed from ``state.step``, which
-    is replicated, so every shard anneals identically)."""
+    is replicated, so every shard anneals identically).
+
+    ``base_step``: inject a fused-kernel implicit step built with
+    ``axis_name=axis`` (``ops.pallas_igcn_train.make_pallas_implicit_
+    train_step``) in place of the module-path step."""
     from diffpose_tpu.train.implicit_steps import make_implicit_train_step
 
-    base_step = make_implicit_train_step(
+    base_step = base_step or make_implicit_train_step(
         model, optimizer, betas, ema_mu=ema_mu, mask=mask, axis_name=axis,
         use_warm_start=use_warm_start, tol_schedule=tol_schedule,
     )
@@ -229,19 +234,24 @@ def make_sharded_implicit_train_sweep_step(
     use_warm_start: bool = False,
     warm_start_momentum: float = 0.0,
     tol_schedule=None,
+    base_step: Optional[Callable] = None,
 ) -> Callable:
     """Device-resident-data IGCN training × data parallelism: the implicit
     sweep (``implicit_steps.make_implicit_train_sweep_step``) runs inside
     ``shard_map`` — dataset replicated, the ``[sweep, B]`` index batch
     axis sharded, grads/loss/batch_stats pmean'd over ``axis`` per scanned
     step.  With warm start the fixed-point carry stays sharded over
-    ``axis`` (each shard warm-starts its own slice — never gathered)."""
+    ``axis`` (each shard warm-starts its own slice — never gathered).
+
+    ``base_step``: inject a fused-kernel per-step implicit train step
+    (built with ``axis_name=axis``) into the scanned sweep."""
     from diffpose_tpu.train.implicit_steps import make_implicit_train_sweep_step
 
     local_sweep = make_implicit_train_sweep_step(
         model, optimizer, betas, sweep=sweep, ema_mu=ema_mu, mask=mask,
         axis_name=axis, use_warm_start=use_warm_start,
         warm_start_momentum=warm_start_momentum, tol_schedule=tol_schedule,
+        base_step=base_step,
     )
     keys = ("poses_2d_gmm", "poses_3d")
 

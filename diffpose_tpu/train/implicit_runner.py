@@ -119,16 +119,20 @@ class ImplicitRunner(DiffposeRunner):
                 make_sharded_implicit_train_sweep_step,
             )
 
+            base_step = self._implicit_pallas_train_base(
+                optimizer, ema_mu, tol_schedule, warm,
+                in_sweep=True, axis_name="data",
+            )
             fn = make_sharded_implicit_train_sweep_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
                 sweep=n, ema_mu=ema_mu, mask=self.mask,
                 use_warm_start=warm,
                 warm_start_momentum=imp.warm_start_momentum,
-                tol_schedule=tol_schedule,
+                tol_schedule=tol_schedule, base_step=base_step,
             )
         else:
-            base_step = self._implicit_pallas_train_base(optimizer, ema_mu,
-                                                         tol_schedule, warm)
+            base_step = self._implicit_pallas_train_base(
+                optimizer, ema_mu, tol_schedule, warm, in_sweep=True)
             fn = jax.jit(
                 make_implicit_train_sweep_step(
                     self.model_diff, optimizer, self.betas,
@@ -143,9 +147,32 @@ class ImplicitRunner(DiffposeRunner):
             fn = self._wrap_warm_start_sweep(fn, imp.warm_start_momentum)
         return fn
 
-    def _implicit_pallas_train_base(self, optimizer, ema_mu, tol_schedule, warm):
-        """Hook for a fused-kernel implicit train step (None = module path)."""
-        return None
+    def _implicit_pallas_train_base(self, optimizer, ema_mu, tol_schedule, warm,
+                                    *, in_sweep: bool, axis_name=None):
+        """The fused-kernel implicit train step when ``--train_impl pallas``
+        (None = module path): every solver iteration's stack fwd+bwd runs
+        as the whole-network Pallas kernel pair
+        (``ops/pallas_igcn_train.py``) — the implicit family's equivalent
+        of the standard family's fused train step."""
+        if self.train_impl != "pallas":
+            return None
+        if self.mask is not None:
+            assert bool(np.all(np.asarray(self.mask) == 1)), (
+                "--train_impl pallas assumes the all-True joint mask")
+        b = self.config.training.batch_size
+        assert b % 16 == 0, (
+            f"--train_impl pallas needs batch_size % 16 == 0, got {b}")
+        from diffpose_tpu.ops.pallas_igcn_train import (
+            make_pallas_implicit_train_step,
+        )
+
+        imp = self.config.implicit or ImplicitConfig()
+        return make_pallas_implicit_train_step(
+            self.model_diff, optimizer, self.betas, ema_mu=ema_mu,
+            axis_name=axis_name, use_warm_start=warm,
+            tol_schedule=tol_schedule,
+            **self._pallas_step_kwargs(in_sweep=in_sweep),
+        )
 
     def _wrap_warm_start_sweep(self, raw_sweep, momentum: float):
         """Warm-start carry across sweep DISPATCHES, shared between the main
@@ -205,14 +232,21 @@ class ImplicitRunner(DiffposeRunner):
         if self.mesh is not None:
             from diffpose_tpu.parallel.sharding import make_sharded_implicit_train_step
 
+            base_step = self._implicit_pallas_train_base(
+                optimizer, ema_mu, tol_schedule, warm,
+                in_sweep=False, axis_name="data",
+            )
             step_fn = make_sharded_implicit_train_step(
                 self.model_diff, optimizer, self.betas, self.mesh,
                 ema_mu=ema_mu, mask=self.mask, use_warm_start=warm,
-                tol_schedule=tol_schedule,
+                tol_schedule=tol_schedule, base_step=base_step,
             )
         else:
+            base_step = self._implicit_pallas_train_base(
+                optimizer, ema_mu, tol_schedule, warm, in_sweep=False)
             step_fn = jax.jit(
-                make_implicit_train_step(
+                base_step
+                or make_implicit_train_step(
                     self.model_diff, optimizer, self.betas, ema_mu=ema_mu,
                     mask=self.mask, use_warm_start=warm,
                     tol_schedule=tol_schedule,

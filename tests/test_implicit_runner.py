@@ -137,3 +137,29 @@ def test_implicit_runner_pallas_eval_matches_module_eval():
     p1_p, p2_p = run("pallas")
     np.testing.assert_allclose(p1_p, p1_m, rtol=2e-3)
     np.testing.assert_allclose(p2_p, p2_m, rtol=2e-3)
+
+
+def test_implicit_runner_pallas_train_wires_fused_step():
+    """--train_impl pallas on the implicit family: the runner injects the
+    fused backprop-through-the-solve step (ops/pallas_igcn_train.py) into
+    both the per-batch and the device-resident-sweep paths (interpret
+    mode off-TPU, so this runs everywhere)."""
+    cfg = _cfg()
+
+    def run(train_sweep):
+        runner = ImplicitRunner(cfg, seed=12, train_impl="pallas",
+                                train_sweep=train_sweep)
+        runner.create_diffusion_model()
+        runner.create_pose_model()
+        runner.set_data(
+            make_synthetic_dataset(num_frames=64, seed=7),
+            make_synthetic_dataset(num_frames=32, seed=8),
+        )
+        history = runner.train()
+        assert len(history["loss"]) == 1 and np.isfinite(history["loss"][0])
+        # BN stats moved → the fused fn's train-mode BatchNorm ran
+        assert not np.allclose(np.asarray(runner.state.model_state["bn_mean"]), 0.0)
+        return history
+
+    run(train_sweep=1)   # per-batch path
+    run(train_sweep=2)   # sweep path (base_step inside the scan)
