@@ -86,6 +86,41 @@ def bench_tpu(iters: int = 25) -> float:
         return _bench_tpu_inner(iters)
 
 
+def load_eval_params(diff, pose, ckpt_dir: str | None = None):
+    """Headline weights: converted reference checkpoints when present.
+
+    The moment ``ckpt/`` holds ``diffpose_uvxyz_{cpn,gt}.pth`` +
+    ``gcn_xyz_{cpn,gt}.pth`` (the scripts/parity.sh convention) the
+    headline measures on trained weights — realistic eval distribution,
+    same throughput math (compute is weight-independent).  Falls back to
+    random init.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ckpt_dir = ckpt_dir or os.path.join(REPO, "ckpt")
+    for mode in ("cpn", "gt"):
+        dp = os.path.join(ckpt_dir, f"diffpose_uvxyz_{mode}.pth")
+        pp = os.path.join(ckpt_dir, f"gcn_xyz_{mode}.pth")
+        if os.path.exists(dp) and os.path.exists(pp):
+            from diffpose_tpu.models.convert import (
+                load_torch_states,
+                torch_state_to_params,
+            )
+
+            tree = jax.tree_util.tree_map
+            params_diff = tree(jnp.asarray, torch_state_to_params(
+                load_torch_states(dp)[0], with_temb=True))
+            params_pose = tree(jnp.asarray, torch_state_to_params(
+                load_torch_states(pp)[0], with_temb=False))
+            print(f"# trained weights: {ckpt_dir}/*_{mode}.pth", file=sys.stderr)
+            return params_diff, params_pose
+    key = jax.random.PRNGKey(0)
+    params_diff = diff.init({"params": key}, jnp.zeros((2, 17, 5)), jnp.zeros((2,)))["params"]
+    params_pose = pose.init({"params": key}, jnp.zeros((2, 17, 2)))["params"]
+    return params_diff, params_pose
+
+
 def _bench_tpu_inner(iters: int) -> float:
     import jax
     import jax.numpy as jnp
@@ -99,11 +134,9 @@ def _bench_tpu_inner(iters: int) -> float:
         "linear", beta_start=1e-4, beta_end=1e-3, num_diffusion_timesteps=51
     )
 
-    key = jax.random.PRNGKey(0)
     diff = GCNDiff(basis=basis)
     pose = GCNPose(basis=basis)
-    params_diff = diff.init({"params": key}, jnp.zeros((2, 17, 5)), jnp.zeros((2,)))["params"]
-    params_pose = pose.init({"params": key}, jnp.zeros((2, 17, 2)))["params"]
+    params_diff, params_pose = load_eval_params(diff, pose)
     mask = jnp.ones((1, 1, 17))
 
     if os.environ.get("BENCH_IMPL", "pallas") == "pallas":

@@ -59,11 +59,12 @@ def main(argv=None) -> int:
 
     from diffpose_tpu.train.video_runner import VideoRunner
 
-    # Sweep/Pallas knobs are frame-runner features; say so instead of
-    # silently accepting them from the shared flag set.
+    # Sweep / fused-train knobs are frame-runner features; say so instead
+    # of silently accepting them from the shared flag set.
+    # (--denoiser_impl pallas DOES apply: the spatial stack runs as fused
+    # kernels at eval, ops/pallas_video.py.)
     for flag, default in (("eval_sweep", 1), ("train_sweep", 1),
-                          ("denoiser_impl", "module"), ("train_impl", "module"),
-                          ("dropout_impl", "masks")):
+                          ("train_impl", "module"), ("dropout_impl", "masks")):
         if getattr(args, flag) != default:
             logging.warning("--%s is not supported by the video runner; ignored", flag)
 
@@ -78,6 +79,7 @@ def main(argv=None) -> int:
             cp_axis="context" if args.context_parallel > 0 else None,
             log_dir=args.log_path,
             use_ema_eval=args.use_ema_eval,
+            denoiser_impl=args.denoiser_impl,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,
         )

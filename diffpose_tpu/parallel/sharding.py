@@ -415,16 +415,21 @@ def make_sharded_video_eval_step(
     eta: float = 0.0,
     mask=None,
     use_ema: bool = False,
+    denoise_override=None,
 ) -> Callable:
     """Windowed DDIM eval over the mesh; per-frame P1/P2 come back
     ``[B, F]`` sharded the same way the windows went in.  Per-(window,
-    frame) seed ids make the result exactly layout-invariant."""
+    frame) seed ids make the result exactly layout-invariant.
+
+    ``denoise_override``: fused-kernel denoiser (``ops/pallas_video.py``)
+    — runs per shard on the local rows; the temporal K/V all-gather over
+    ``cp_axis`` stays inside it as an XLA collective."""
     from diffpose_tpu.train.video_steps import make_video_eval_step
 
     local_step = make_video_eval_step(
         model, betas, seq, test_times=test_times, eta=eta, mask=mask,
         use_ema=use_ema, cp_axis=cp_axis, data_axis=data_axis,
-        frames_total=frames_total,
+        frames_total=frames_total, denoise_override=denoise_override,
     )
     keys = ("poses_2d_gmm", "poses_3d")
     batch_spec = P(data_axis, cp_axis)

@@ -53,6 +53,7 @@ class VideoRunner:
         log_dir: Optional[str] = None,
         use_ema_eval: bool = False,
         reference_compat: bool = True,
+        denoiser_impl: str = "module",  # "module" | "pallas"
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
     ):
@@ -68,8 +69,10 @@ class VideoRunner:
         self.log_dir = log_dir
         self.use_ema_eval = use_ema_eval
         self.reference_compat = reference_compat
+        self.denoiser_impl = denoiser_impl
         self.eval_matmul_precision = eval_matmul_precision
         self.train_matmul_precision = train_matmul_precision
+        self._denoise_override = None
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -266,6 +269,23 @@ class VideoRunner:
 
     # ------------------------------------------------------------------
 
+    def _get_denoise_override(self):
+        """The fused-kernel video denoiser (``--denoiser_impl pallas``) —
+        built once; weights are runtime operands, so the one compiled
+        program serves every epoch's weights (live or EMA)."""
+        if self.denoiser_impl != "pallas":
+            return None
+        if self._denoise_override is None:
+            from diffpose_tpu.ops.pallas_video import make_pallas_video_denoiser_fn
+
+            assert bool(np.all(np.asarray(self.mask) == 1)), (
+                "--denoiser_impl pallas assumes the all-True joint mask")
+            self._denoise_override = make_pallas_video_denoiser_fn(
+                self.model, precision="bf16x3",
+                interpret=jax.default_backend() != "tpu",
+            )
+        return self._denoise_override
+
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:
         with jax.default_matmul_precision(self.eval_matmul_precision):
             return self._evaluate(is_train=is_train, state=state)
@@ -281,6 +301,7 @@ class VideoRunner:
                 self.state = TrainState.create(self._params_init, opt_state=())
             state = self.state
 
+        denoise_override = self._get_denoise_override()
         if self.mesh is not None:
             from diffpose_tpu.parallel.sharding import make_sharded_video_eval_step
 
@@ -289,13 +310,13 @@ class VideoRunner:
                 frames_total=self.video_cfg.frames,
                 data_axis=self.data_axis, cp_axis=self.cp_axis,
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
-                use_ema=self.use_ema_eval,
+                use_ema=self.use_ema_eval, denoise_override=denoise_override,
             )
         else:
             core = make_video_eval_step(
                 self.model, self.betas, seq,
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
-                use_ema=self.use_ema_eval,
+                use_ema=self.use_ema_eval, denoise_override=denoise_override,
             )
             jitted = jax.jit(core)
 

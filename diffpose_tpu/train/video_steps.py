@@ -47,9 +47,14 @@ def make_video_eval_step(
     cp_axis: Optional[str] = None,
     data_axis: Optional[str] = None,
     frames_total: Optional[int] = None,
+    denoise_override=None,
 ):
     """Window eval: per-frame GMM 2D + zero-init xyz → DDIM over the window
     → hypothesis mean → per-frame P1/P2 ``[B, F_local]`` (root-centered).
+
+    ``denoise_override(params, z, tv) → ε̂`` swaps the module forward for
+    the fused-kernel one (``ops/pallas_video.py``): the spatial blocks run
+    as Pallas kernels, weights as runtime operands, semantics identical.
 
     The video variant starts from the observed uv with a zero xyz guess
     (no per-frame lifter is required — the temporal context supplies the
@@ -95,8 +100,12 @@ def make_video_eval_step(
         uvxyz = jnp.concatenate([input_2d, jnp.zeros((b, f, j, 3), p3.dtype)], axis=-1)
         uvxyz = jnp.tile(uvxyz, (test_times, 1, 1, 1))
 
-        def denoise(z, tv):
-            return model.apply({"params": params}, z, tv, mask)
+        if denoise_override is not None:
+            def denoise(z, tv):
+                return denoise_override(params, z, tv)
+        else:
+            def denoise(z, tv):
+                return model.apply({"params": params}, z, tv, mask)
 
         out = ddim_sample(denoise, uvxyz, seq, betas, eta=eta, key=key)
         out = out.reshape(test_times, b, f, j, 5).mean(axis=0)

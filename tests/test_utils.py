@@ -63,3 +63,47 @@ def test_render_animation_gif(tmp_path):
         output=out, viewport=(100, 100), limit=3,
     )
     assert os.path.getsize(out) > 0
+
+
+def _has_ffmpeg():
+    import shutil
+    return shutil.which("ffmpeg") is not None
+
+
+def test_render_animation_mp4(tmp_path):
+    """mp4 writer path (reference visualization.py:129-131) — needs ffmpeg."""
+    import pytest
+    if not _has_ffmpeg():
+        pytest.skip("ffmpeg not available in this environment")
+    from diffpose_tpu.skeleton import Skeleton
+    from diffpose_tpu.utils.visualization import render_animation
+
+    sk = Skeleton([-1, 0, 1, 0, 3], [1, 2], [3, 4])
+    frames = 4
+    kps = np.random.default_rng(0).uniform(0, 100, size=(frames, 5, 2))
+    pose = np.random.default_rng(1).normal(size=(frames, 5, 3)) * 0.2
+    out = str(tmp_path / "anim.mp4")
+    render_animation(
+        kps, {"ours": pose}, sk, fps=5, bitrate=500, azim=70.0,
+        output=out, viewport=(100, 100), limit=3,
+    )
+    assert os.path.getsize(out) > 0
+
+
+def test_read_video_roundtrip(tmp_path):
+    """read_video yields RGB frames from an ffmpeg-synthesized sample
+    (reference visualization.py:139-157) — needs ffmpeg."""
+    import pytest
+    if not _has_ffmpeg():
+        pytest.skip("ffmpeg not available in this environment")
+    import subprocess
+
+    from diffpose_tpu.utils.visualization import read_video
+
+    sample = str(tmp_path / "sample.mp4")
+    subprocess.run(
+        ["ffmpeg", "-y", "-f", "lavfi", "-i", "testsrc=duration=1:size=64x48:rate=5",
+         sample], check=True, capture_output=True)
+    frames = list(read_video(sample))
+    assert len(frames) == 5
+    assert frames[0].shape == (48, 64, 3) and frames[0].dtype == np.uint8

@@ -163,3 +163,54 @@ def test_chunked_temporal_attention_matches_fused():
     want = fused.apply({"params": params}, x, t)
     got = chunked.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_video_runner_pallas_eval_matches_module_eval():
+    """--denoiser_impl pallas: the spatial stack runs as fused kernels
+    (interpret off-TPU) — eval parity with the module path."""
+    _, test_ds = _data(seed=21)
+
+    def run(impl):
+        runner = VideoRunner(_cfg(), seed=13, denoiser_impl=impl)
+        runner.create_video_model()
+        runner.set_data(None, test_ds)
+        return runner.evaluate(is_train=True)
+
+    p1_m, p2_m = run("module")
+    p1_p, p2_p = run("pallas")
+    np.testing.assert_allclose(p1_p, p1_m, rtol=2e-3)
+    np.testing.assert_allclose(p2_p, p2_m, rtol=2e-3)
+
+
+def test_video_runner_pallas_eval_composes_with_2d_mesh():
+    """Fused kernels per shard under the (data, context) mesh; temporal
+    K/V all-gather stays an XLA collective inside the override.  One
+    shared param set, module vs override under the SAME sharded step —
+    per-frame predictions must agree to float tolerance."""
+    from diffpose_tpu.diffusion import get_beta_schedule
+    from diffpose_tpu.ops.pallas_video import make_pallas_video_denoiser_fn
+    from diffpose_tpu.parallel import make_mesh
+    from diffpose_tpu.parallel.sharding import make_sharded_video_eval_step
+    from diffpose_tpu.train.state import TrainState
+
+    _, test_ds = _data(seed=22)
+    mesh = make_mesh((4, 2), ("data", "context"))
+    runner = VideoRunner(_cfg(), seed=14, mesh=mesh, cp_axis="context",
+                         denoiser_impl="pallas")
+    runner.create_video_model()
+    runner.set_data(None, test_ds)
+    state = TrainState.create(runner._params_init, opt_state=())
+    betas = get_beta_schedule("linear", beta_start=1e-4, beta_end=1e-3,
+                              num_diffusion_timesteps=51)
+    batch = next(iter(runner._make_loader(test_ds, shuffle=False).epoch(0)))
+    key = jax.random.PRNGKey(0)
+    kw = dict(frames_total=FRAMES, data_axis="data", cp_axis="context")
+    step_m = make_sharded_video_eval_step(
+        runner.model, betas, (0, 6), mesh, **kw)
+    step_p = make_sharded_video_eval_step(
+        runner.model, betas, (0, 6), mesh,
+        denoise_override=runner._get_denoise_override(), **kw)
+    _, _, pred_m = step_m(state, batch, key)
+    _, _, pred_p = step_p(state, batch, key)
+    np.testing.assert_allclose(
+        np.asarray(pred_p), np.asarray(pred_m), atol=2e-5)
