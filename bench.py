@@ -139,26 +139,30 @@ def _bench_tpu_inner(iters: int) -> float:
     params_diff, params_pose = load_eval_params(diff, pose)
     mask = jnp.ones((1, 1, 17))
 
+    # Weights enter the program as RUNTIME operands (not baked constants):
+    # the compiled sweep is weight-agnostic, so the executable disk cache
+    # below hits the same entry for random init and trained checkpoints,
+    # and lowering/hashing stays seconds (no multi-MB constant blobs).
     if os.environ.get("BENCH_IMPL", "pallas") == "pallas":
-        from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval
+        from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval_fn
 
         block_b = int(os.environ.get("BENCH_BLOCK_B", "128"))
         vmem_mb = int(os.environ.get("BENCH_VMEM_MB", "0"))
-        eval_one = make_pallas_eval(
-            params_pose, params_diff, basis,
-            seq=SEQ, betas=betas, test_times=TEST_TIMES, precision="bf16x3",
+        eval_one = make_pallas_eval_fn(
+            basis,
+            seq=SEQ, betas=betas, test_times=TEST_TIMES,
+            precision=os.environ.get("BENCH_PRECISION", "bf16x3"),
             block_b=block_b, vmem_limit_bytes=vmem_mb * 2**20 or None,
         )
     else:
-        def denoise(x, t):
-            return diff.apply({"params": params_diff}, x, t, mask)
-
-        def eval_one(input_2d):
-            xyz = pose.apply({"params": params_pose}, input_2d, mask)
+        def eval_one(pp, pd, input_2d):
+            xyz = pose.apply({"params": pp}, input_2d, mask)
             xyz = xyz - xyz[:, :1, :]
             uvxyz = jnp.concatenate([input_2d, xyz], axis=-1)
             uvxyz = jnp.tile(uvxyz, (TEST_TIMES, 1, 1))
-            out = ddim_sample(denoise, uvxyz, SEQ, betas)
+            out = ddim_sample(
+                lambda x, t: diff.apply({"params": pd}, x, t, mask),
+                uvxyz, SEQ, betas)
             out = out.reshape(TEST_TIMES, -1, 17, 5).mean(axis=0)
             return out[..., 2:]
 
@@ -166,19 +170,29 @@ def _bench_tpu_inner(iters: int) -> float:
     # host dispatch per call (this environment has ~0.4 ms per-execution
     # overhead; a per-batch host loop would pay it every 1024 frames).
     @jax.jit
-    def eval_sweep(batches):  # [NB, B, 17, 2]
-        return jax.lax.map(eval_one, batches)
+    def eval_sweep(pp, pd, batches):  # [NB, B, 17, 2]
+        return jax.lax.map(lambda b: eval_one(pp, pd, b), batches)
 
     nb = 8
     x = jax.random.normal(jax.random.PRNGKey(1), (nb, BATCH, 17, 2), jnp.float32)
+    pp = jax.device_put(params_pose)
+    pd = jax.device_put(params_diff)
     t0 = time.perf_counter()
-    eval_sweep(x).block_until_ready()  # compile
+    if os.environ.get("BENCH_EXEC_CACHE", "1") != "0":
+        # Executable disk cache: the backend ignores JAX's persistent
+        # compilation cache, but serialized executables round-trip
+        # (scripts/probe_aot.py) — the second bench run skips the ~300 s
+        # Mosaic compile entirely and starts measuring in seconds.
+        from diffpose_tpu.utils.aot_cache import compile_cached
+
+        eval_sweep = compile_cached(eval_sweep, pp, pd, x)
+    eval_sweep(pp, pd, x).block_until_ready()  # compile (no-op on a cache hit)
     compile_s = time.perf_counter() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = eval_sweep(x)
+        out = eval_sweep(pp, pd, x)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     return nb * BATCH * iters / dt

@@ -94,6 +94,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "measured 50.3k vs 44.8k frames/s training, ΔP1 "
                         "~0.003 mm eval), or default (single-pass bf16; NOT "
                         "parity-grade, >1 mm P1)")
+    parser.add_argument("--exec_cache", action="store_true",
+                        help="cache COMPILED executables on disk "
+                        "(.jax_cache_exec/): later processes skip the "
+                        "40-480 s remote compile and deserialize in seconds "
+                        "(this backend ignores JAX's persistent HLO cache)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "

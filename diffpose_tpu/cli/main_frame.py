@@ -56,6 +56,7 @@ def main(argv=None) -> int:
             train_sweep=args.train_sweep,
             denoiser_impl=args.denoiser_impl,
             train_impl=args.train_impl,
+            exec_cache=args.exec_cache,
             dropout_impl=args.dropout_impl,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,

@@ -80,6 +80,7 @@ def main(argv=None) -> int:
             log_dir=args.log_path,
             use_ema_eval=args.use_ema_eval,
             denoiser_impl=args.denoiser_impl,
+            exec_cache=args.exec_cache,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,
         )

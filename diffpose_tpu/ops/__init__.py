@@ -9,7 +9,7 @@ from diffpose_tpu.ops.pallas_denoiser import (
     make_pallas_lifter,
     make_pallas_lifter_fn,
 )
-from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval
+from diffpose_tpu.ops.pallas_pipeline import make_pallas_eval, make_pallas_eval_fn
 
 __all__ = [
     "make_fast_denoiser",
@@ -20,4 +20,5 @@ __all__ = [
     "make_pallas_lifter",
     "make_pallas_lifter_fn",
     "make_pallas_eval",
+    "make_pallas_eval_fn",
 ]

@@ -24,15 +24,18 @@ from typing import Any, Dict, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from diffpose_tpu.diffusion import ddim_sample
-from diffpose_tpu.ops.pallas_denoiser import make_pallas_denoiser, make_pallas_lifter
+from diffpose_tpu.ops.pallas_denoiser import (
+    make_pallas_denoiser_fn,
+    make_pallas_lifter_fn,
+)
 
-__all__ = ["make_pallas_eval"]
+__all__ = ["make_pallas_eval", "make_pallas_eval_fn"]
 
 
-def make_pallas_eval(
-    params_pose: Dict[str, Any],
-    params_diff: Dict[str, Any],
+def make_pallas_eval_fn(
     basis: np.ndarray,
     *,
     seq: Sequence[int],
@@ -47,27 +50,46 @@ def make_pallas_eval(
     vmem_limit_bytes=None,
     group: int = 1,
 ):
-    """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` (root-relative mean
-    over ``test_times`` hypotheses), the fused-kernel equivalent of the
-    runner's eval step.  Any ``B·test_times`` works: the kernels pad the
-    batch up to a ``block_b`` multiple and slice the result (exact — rows
-    are independent), so odd sizes keep full-width MXU tiles.
+    """Build ``eval_one(params_pose, params_diff, x2d [B,17,2]) → xyz
+    [B,17,3]`` (root-relative mean over ``test_times`` hypotheses) with the
+    weights as RUNTIME operands: one compiled program serves every weight
+    set (per-epoch eval, EMA vs live, trained checkpoints), and — because
+    nothing is baked in as constants — the lowered program is small enough
+    to hash/serialize in seconds (``utils/aot_cache.py``).
     """
     kw = dict(
         num_layers=num_layers, num_heads=num_heads, hid_dim=hid_dim,
         block_b=block_b, precision=precision, interpret=interpret,
         vmem_limit_bytes=vmem_limit_bytes, group=group,
     )
-    lift = make_pallas_lifter(params_pose, basis, **kw)
-    denoise = make_pallas_denoiser(params_diff, basis, **kw)
+    lift = make_pallas_lifter_fn(basis, **kw)
+    denoise = make_pallas_denoiser_fn(basis, **kw)
 
-    def eval_one(x2d):
-        xyz = lift(x2d)
+    def eval_one(params_pose, params_diff, x2d):
+        xyz = lift(params_pose, x2d)
         xyz = xyz - xyz[:, :1, :]
         uvxyz = jnp.concatenate([x2d, xyz], axis=-1)
         uvxyz = jnp.tile(uvxyz, (test_times, 1, 1))
-        out = ddim_sample(denoise, uvxyz, seq, betas)
+        out = ddim_sample(functools.partial(denoise, params_diff),
+                          uvxyz, seq, betas)
         out = out.reshape(test_times, -1, x2d.shape[1], 5).mean(axis=0)
         return out[..., 2:]
 
     return eval_one
+
+
+def make_pallas_eval(
+    params_pose: Dict[str, Any],
+    params_diff: Dict[str, Any],
+    basis: np.ndarray,
+    **kw,
+):
+    """Build ``eval_one(x2d [B,17,2]) → xyz [B,17,3]`` with the weights
+    baked in at build time (tests/probes); prefer
+    :func:`make_pallas_eval_fn` anywhere the program is reused.  Any
+    ``B·test_times`` works: the kernels pad the batch up to a ``block_b``
+    multiple and slice the result (exact — rows are independent), so odd
+    sizes keep full-width MXU tiles.
+    """
+    return functools.partial(make_pallas_eval_fn(basis, **kw),
+                             params_pose, params_diff)

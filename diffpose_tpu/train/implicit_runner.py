@@ -143,6 +143,7 @@ class ImplicitRunner(DiffposeRunner):
                 ),
                 donate_argnums=(0,),
             )
+            fn = self._maybe_exec_cache(fn)
         if warm:
             fn = self._wrap_warm_start_sweep(fn, imp.warm_start_momentum)
         return fn
@@ -253,6 +254,7 @@ class ImplicitRunner(DiffposeRunner):
                 ),
                 donate_argnums=(0,),
             )
+        step_fn = self._maybe_exec_cache(step_fn)
         if warm:
             step_fn = self._wrap_warm_start(step_fn, imp.warm_start_momentum)
         return optimizer, step_fn
@@ -351,6 +353,7 @@ class ImplicitRunner(DiffposeRunner):
                     solve_override=solve_override, lift_override=lift_override,
                 )
             )
+        fn = self._maybe_exec_cache(fn)
         self._eval_cache[key] = fn
         return fn
 

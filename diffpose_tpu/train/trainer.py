@@ -62,6 +62,7 @@ class DiffposeRunner:
         dropout_impl: str = "masks",    # "masks" | "prng" (pallas train only)
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
+        exec_cache: bool = False,
     ):
         self.config = config
         self.seed = seed
@@ -95,6 +96,12 @@ class DiffposeRunner:
         # follows suit for parity with the reference's f32 CUDA training.
         self.eval_matmul_precision = eval_matmul_precision
         self.train_matmul_precision = train_matmul_precision
+        # Disk-backed executable cache (utils/aot_cache.py): the remote
+        # compiler has no persistent cache, so a restarted process repays
+        # 40-480 s per program; with exec_cache the eval/train executables
+        # themselves are serialized under .jax_cache_exec/ and later
+        # processes deserialize in seconds.
+        self.exec_cache = exec_cache
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -129,6 +136,14 @@ class DiffposeRunner:
         # can assert the second evaluate() builds nothing.
         self._eval_cache: Dict[str, object] = {}
         self._eval_builds: int = 0
+
+    def _maybe_exec_cache(self, fn):
+        """Wrap a jitted step in the disk-backed executable cache."""
+        if not self.exec_cache:
+            return fn
+        from diffpose_tpu.utils.aot_cache import cached_jit
+
+        return cached_jit(fn)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -329,7 +344,7 @@ class DiffposeRunner:
                 ),
                 donate_argnums=(0,),
             )
-        return optimizer, step_fn
+        return optimizer, self._maybe_exec_cache(step_fn)
 
     def _supports_train_sweep(self) -> bool:
         """Whether ``--train_sweep`` can replace this runner's train step."""
@@ -373,14 +388,14 @@ class DiffposeRunner:
                 hid_dim=m.hid_dim, n_pts=m.n_pts, ema_mu=ema_mu,
                 **self._pallas_step_kwargs(in_sweep=True),
             )
-        return jax.jit(
+        return self._maybe_exec_cache(jax.jit(
             make_train_sweep_step(
                 self.model_diff, optimizer, self.betas,
                 sweep=n, ema_mu=ema_mu, mask=self.mask,
                 base_step=base_step,
             ),
             donate_argnums=(0,),
-        )
+        ))
 
     def init_state(self, optimizer) -> TrainState:
         params = self._params_diff_init
@@ -564,6 +579,7 @@ class DiffposeRunner:
                     lift_override=lift_override,
                 )
             )
+        fn = self._maybe_exec_cache(fn)
         self._eval_cache[key] = fn
         return fn
 
@@ -596,6 +612,7 @@ class DiffposeRunner:
                     lambda bk: core(st, pp, bk[0], bk[1]), (batches, ks)
                 )
             )
+        fn = self._maybe_exec_cache(fn)
         self._eval_cache[key] = fn
         return fn
 

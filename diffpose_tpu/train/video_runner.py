@@ -56,6 +56,7 @@ class VideoRunner:
         denoiser_impl: str = "module",  # "module" | "pallas"
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
+        exec_cache: bool = False,
     ):
         self.config = config
         self.video_cfg = config.video or VideoConfig()
@@ -72,6 +73,8 @@ class VideoRunner:
         self.denoiser_impl = denoiser_impl
         self.eval_matmul_precision = eval_matmul_precision
         self.train_matmul_precision = train_matmul_precision
+        # disk-backed executable cache (utils/aot_cache.py, see DiffposeRunner)
+        self.exec_cache = exec_cache
         self._denoise_override = None
 
         d = config.diffusion
@@ -97,6 +100,13 @@ class VideoRunner:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _maybe_exec_cache(self, fn):
+        if not self.exec_cache:
+            return fn
+        from diffpose_tpu.utils.aot_cache import cached_jit
+
+        return cached_jit(fn)
 
     # ------------------------------------------------------------------
 
@@ -200,7 +210,7 @@ class VideoRunner:
                 ),
                 donate_argnums=(0,),
             )
-        return optimizer, step_fn
+        return optimizer, self._maybe_exec_cache(step_fn)
 
     def train(self, resume: bool = False) -> Dict[str, list]:
         with jax.default_matmul_precision(self.train_matmul_precision):
@@ -318,7 +328,7 @@ class VideoRunner:
                 test_times=t_cfg.test_times, eta=self.eta, mask=self.mask,
                 use_ema=self.use_ema_eval, denoise_override=denoise_override,
             )
-            jitted = jax.jit(core)
+            jitted = self._maybe_exec_cache(jax.jit(core))
 
             def eval_fn(st, batch, key):
                 needed = {k: batch[k] for k in ("poses_2d_gmm", "poses_3d", "seeds")}

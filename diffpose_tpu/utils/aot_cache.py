@@ -1,0 +1,154 @@
+"""On-disk cache of COMPILED executables (AOT serialization).
+
+This environment's remote-compile service ignores JAX's persistent
+compilation cache, so every process pays the full 40–480 s compile for
+each jitted program (docs/PERF.md).  ``jax.experimental
+.serialize_executable`` does round-trip on the axon TPU backend
+(``scripts/probe_aot.py``: numerics match after deserialize), so this
+module caches the *compiled executable itself*:
+
+    compiled = compile_cached(jax.jit(fn), example_args)
+    out = compiled(*args)
+
+The cache key is a SHA-256 over the lowered StableHLO text plus the jax
+version and device fingerprint — i.e. keyed by the actual program, so any
+change to shapes, precision, kernel code, or mesh produces a new entry,
+and weights-as-runtime-operands programs (the round-3 eval/train paths)
+hit the same entry for every weight set.
+
+Corrupt/ incompatible entries never break a run: deserialization failures
+fall back to a fresh compile and overwrite the entry.
+
+No reference equivalent — torch.compile caching does not exist in the
+reference (pure eager PyTorch); this is TPU-operational tooling that
+turns the per-process compile tax into a one-time cost per program.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import sys
+import tempfile
+import time
+from typing import Any
+
+import jax
+
+DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache_exec",
+)
+
+
+def _device_fingerprint() -> str:
+    try:
+        d = jax.devices()[0]
+        return f"{jax.default_backend()}:{getattr(d, 'device_kind', type(d).__name__)}:{jax.device_count()}"
+    except Exception:
+        return jax.default_backend()
+
+
+def cache_key(lowered, extra: str = "") -> str:
+    """Digest of the lowered program + toolchain/device identity."""
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    h.update(_device_fingerprint().encode())
+    h.update(extra.encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()
+
+
+def compile_cached(jitted, *args, cache_dir: str | None = None,
+                   extra_key: str = "", verbose: bool = True, **kwargs) -> Any:
+    """``jitted.lower(*args).compile()`` with an executable disk cache.
+
+    ``jitted`` must be a ``jax.jit``-wrapped callable; ``args``/``kwargs``
+    are example arguments (shapes/dtypes matter, values don't).  Returns a
+    loaded executable callable with the same signature.  On a cache hit the
+    backend compile is skipped entirely (deserialize ≈ milliseconds).
+    """
+    from jax.experimental import serialize_executable as se
+
+    cache_dir = cache_dir or os.environ.get("DIFFPOSE_EXEC_CACHE", DEFAULT_DIR)
+    lowered = jitted.lower(*args, **kwargs)
+    key = cache_key(lowered, extra_key)
+    path = os.path.join(cache_dir, key + ".pkl")
+
+    if os.path.exists(path):
+        try:
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree, device_ids = pickle.load(f)
+            # Re-bind to the SAME device assignment the program was compiled
+            # for (by id).  Without this, deserialize defaults to ALL
+            # addressable devices and a 1-device program loaded on an
+            # 8-device backend rejects its inputs ("expected 8 shards").
+            by_id = {d.id: d for d in jax.devices()}
+            loaded = se.deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in device_ids])
+            if verbose:
+                print(f"# exec-cache hit {key[:12]} "
+                      f"({time.perf_counter() - t0:.2f}s)", file=sys.stderr)
+            return loaded
+        except Exception as e:  # stale/corrupt → recompile below
+            if verbose:
+                print(f"# exec-cache entry unusable ({type(e).__name__}: {e}); "
+                      "recompiling", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    if verbose:
+        print(f"# exec-cache miss {key[:12]}: compiled in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    try:
+        payload, in_tree, out_tree = se.serialize(compiled)
+        device_ids = [
+            d.id for d in compiled._executable.xla_executable.local_devices()]
+        os.makedirs(cache_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree, device_ids), f)
+        os.replace(tmp, path)  # atomic: concurrent writers race benignly
+    except Exception as e:
+        if verbose:
+            print(f"# exec-cache store failed ({type(e).__name__}: {e}); "
+                  "continuing uncached", file=sys.stderr)
+    return compiled
+
+
+def cached_jit(jitted, cache_dir: str | None = None, extra_key: str = "",
+               verbose: bool = True):
+    """Wrap a ``jax.jit``-ed callable so each argument-shape signature is
+    compiled through :func:`compile_cached` (disk-backed) exactly once.
+
+    Drop-in for call sites that invoke a jitted step with a small set of
+    static shapes (per-batch eval, sweep steps): the first call per shape
+    lowers + consults the executable cache; later calls dispatch the
+    loaded executable directly.  Falls back to the plain jitted callable
+    for objects without ``.lower`` (already-wrapped/bound functions).
+    """
+    if not hasattr(jitted, "lower"):
+        return jitted
+    memo: dict = {}
+
+    def wrapper(*args, **kwargs):
+        flat, treedef = jax.tree_util.tree_flatten((args, kwargs))
+        try:
+            sig = (treedef, tuple(
+                (x.shape, str(x.dtype)) if hasattr(x, "shape") else x
+                for x in flat))
+            hash(sig)
+        except TypeError:
+            sig = None
+        fn = memo.get(sig) if sig is not None else None
+        if fn is None:
+            fn = compile_cached(jitted, *args, cache_dir=cache_dir,
+                                extra_key=extra_key, verbose=verbose, **kwargs)
+            if sig is not None:
+                memo[sig] = fn
+        return fn(*args, **kwargs)
+
+    return wrapper

@@ -1,0 +1,113 @@
+"""Executable disk cache (utils/aot_cache.py).
+
+Serialization support is backend-dependent; these tests run on the CPU
+mesh and verify the cache contract (hit/miss, numerics, corruption
+fallback).  The axon TPU backend round-trip is covered by
+``scripts/probe_aot.py`` (hardware).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffpose_tpu.utils.aot_cache import cache_key, compile_cached
+
+
+def _fn(x, w):
+    return jnp.tanh(x @ w) @ w.T
+
+
+@pytest.fixture
+def xw():
+    rng = np.random.default_rng(0)
+    return (jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+            jnp.asarray(rng.normal(size=(16, 16)), jnp.float32))
+
+
+def test_miss_then_hit_same_numerics(tmp_path, xw, capsys):
+    x, w = xw
+    want = np.asarray(jax.jit(_fn)(x, w))
+
+    c1 = compile_cached(jax.jit(_fn), x, w, cache_dir=str(tmp_path))
+    assert "exec-cache miss" in capsys.readouterr().err
+    np.testing.assert_allclose(np.asarray(c1(x, w)), want, atol=1e-6)
+    assert len(list(tmp_path.glob("*.pkl"))) == 1
+
+    c2 = compile_cached(jax.jit(_fn), x, w, cache_dir=str(tmp_path))
+    assert "exec-cache hit" in capsys.readouterr().err
+    np.testing.assert_allclose(np.asarray(c2(x, w)), want, atol=1e-6)
+    assert len(list(tmp_path.glob("*.pkl"))) == 1  # no duplicate entry
+
+
+def test_key_depends_on_program(xw):
+    x, w = xw
+    k1 = cache_key(jax.jit(_fn).lower(x, w))
+    k2 = cache_key(jax.jit(_fn).lower(x[:4], w))          # different shape
+    k3 = cache_key(jax.jit(_fn).lower(x, w), extra="v2")  # explicit salt
+    assert len({k1, k2, k3}) == 3
+
+
+def test_corrupt_entry_recompiles(tmp_path, xw, capsys):
+    x, w = xw
+    compile_cached(jax.jit(_fn), x, w, cache_dir=str(tmp_path))
+    (entry,) = tmp_path.glob("*.pkl")
+    entry.write_bytes(b"not a pickle")
+    c = compile_cached(jax.jit(_fn), x, w, cache_dir=str(tmp_path))
+    err = capsys.readouterr().err
+    assert "unusable" in err and "recompil" in err
+    np.testing.assert_allclose(
+        np.asarray(c(x, w)), np.asarray(jax.jit(_fn)(x, w)), atol=1e-6)
+
+
+def test_sharded_program_roundtrip(tmp_path):
+    """Mesh-sharded programs rebind to the same device assignment on load."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    x = jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(8, 8), sh)
+
+    @jax.jit
+    def g(x):
+        return (x * 2).sum(axis=1)
+
+    want = np.asarray(g(x))
+    c1 = compile_cached(jax.jit(g), x, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(c1(x)), want, atol=1e-6)
+    c2 = compile_cached(jax.jit(g), x, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(c2(x)), want, atol=1e-6)
+    assert len(list(tmp_path.glob("*.pkl"))) == 1
+
+
+def test_runner_exec_cache_roundtrip(tmp_path, monkeypatch):
+    """A second runner PROCESS-alike (fresh runner, same program) hits the
+    disk cache: entry count stays flat and eval results are identical."""
+    monkeypatch.setenv("DIFFPOSE_EXEC_CACHE", str(tmp_path))
+    from diffpose_tpu.config import (
+        Config, ModelConfig, OptimConfig, TestingConfig, TrainingConfig)
+    from diffpose_tpu.data import make_synthetic_dataset
+    from diffpose_tpu.train import DiffposeRunner
+
+    cfg = Config(
+        model=ModelConfig(hid_dim=32, num_layer=2, n_head=4),
+        training=TrainingConfig(batch_size=16, n_epochs=1),
+        testing=TestingConfig(
+            test_times=1, test_timesteps=2, test_num_diffusion_timesteps=12),
+        optim=OptimConfig(),
+    )
+
+    def run_once():
+        r = DiffposeRunner(cfg, seed=11, exec_cache=True)
+        r.create_diffusion_model()
+        r.create_pose_model()
+        r.set_data(None, make_synthetic_dataset(num_frames=32, seed=3))
+        return r.evaluate(is_train=True)
+
+    p1_a, p2_a = run_once()
+    n_entries = len(list(tmp_path.glob("*.pkl")))
+    assert n_entries >= 1
+    p1_b, p2_b = run_once()
+    assert len(list(tmp_path.glob("*.pkl"))) == n_entries  # pure hits
+    np.testing.assert_allclose(p1_a, p1_b, atol=1e-5)
+    np.testing.assert_allclose(p2_a, p2_b, atol=1e-5)
