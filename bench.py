@@ -185,7 +185,17 @@ def _bench_tpu_inner(iters: int) -> float:
         # Mosaic compile entirely and starts measuring in seconds.
         from diffpose_tpu.utils.aot_cache import compile_cached
 
-        eval_sweep = compile_cached(eval_sweep, pp, pd, x)
+        prec = os.environ.get("BENCH_PRECISION", "bf16x3")
+        xla_prec = os.environ.get("BENCH_XLA_PRECISION", "BF16_BF16_F32_X3")
+        eval_sweep = compile_cached(
+            eval_sweep, pp, pd, x,
+            # fast_key: skip even jit.lower() on a hit (Mosaic lowering
+            # alone is ~150 s here) — these knobs + the hashed arg avals +
+            # the package-source fingerprint pin the program exactly.
+            fast_key=(f"bench-eval-sweep:{os.environ.get('BENCH_IMPL', 'pallas')}"
+                      f":{prec}:{xla_prec}:b{BATCH}:seq{SEQ}:tt{TEST_TIMES}"
+                      f":bb{os.environ.get('BENCH_BLOCK_B', '128')}"
+                      f":vm{os.environ.get('BENCH_VMEM_MB', '0')}"))
     eval_sweep(pp, pd, x).block_until_ready()  # compile (no-op on a cache hit)
     compile_s = time.perf_counter() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)

@@ -99,6 +99,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "(.jax_cache_exec/): later processes skip the "
                         "40-480 s remote compile and deserialize in seconds "
                         "(this backend ignores JAX's persistent HLO cache)")
+    parser.add_argument("--kernel_precision", default="bf16x3",
+                        choices=("bf16x3", "bf16", "default"),
+                        help="Pallas kernel matmul grade (--denoiser_impl "
+                        "pallas): bf16x3 (parity-grade emulated f32), bf16 "
+                        "(bf16-resident activations + f32 accumulation -- "
+                        "non-parity FAST tier), default (single-pass bf16)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "

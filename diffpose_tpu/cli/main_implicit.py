@@ -102,6 +102,7 @@ def main(argv=None) -> int:
             denoiser_impl=args.denoiser_impl,
             train_impl=args.train_impl,
             exec_cache=args.exec_cache,
+            kernel_precision=args.kernel_precision,
             dropout_impl=args.dropout_impl,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,

@@ -81,6 +81,7 @@ def main(argv=None) -> int:
             use_ema_eval=args.use_ema_eval,
             denoiser_impl=args.denoiser_impl,
             exec_cache=args.exec_cache,
+            kernel_precision=args.kernel_precision,
             eval_matmul_precision=args.matmul_precision,
             train_matmul_precision=args.matmul_precision,
         )

@@ -51,6 +51,7 @@ Array = jax.Array
 
 
 def _layer_norm(z, scale, bias, h_dim):
+    z = z.astype(jnp.float32)  # stats in f32 even on the bf16 fast path
     mean = jnp.mean(z, axis=-1, keepdims=True)
     c = z - mean
     var = jnp.sum(c * c, axis=-1, keepdims=True) / (h_dim - 1)
@@ -67,8 +68,17 @@ def _dot(x, w, precision):
     out so Mosaic compiles it as fast as the default single-pass path
     (``Precision.HIGHEST`` through this environment's remote-compile
     service took >15 min per kernel; this takes seconds).
-    Any other value is forwarded to ``jnp.dot`` unchanged.
+    ``precision="bf16"`` is the non-parity FAST path: one bf16 MXU pass
+    with f32 accumulation (operands are expected to already be bf16 —
+    the kernel keeps activations AND weights bf16-resident, halving
+    VMEM/vreg traffic).  Any other value is forwarded to ``jnp.dot``
+    unchanged.
     """
+    if precision == "bf16":
+        return jnp.dot(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
     if precision == "bf16x3":
         bf16, f32 = jnp.bfloat16, jnp.float32
         # Pin DEFAULT: bf16 operands are already single-pass-exact, and an
@@ -91,6 +101,11 @@ def _dot_exact_w(x, w, precision):
     """`_dot` for weights that are EXACTLY bf16-representable (0/1 segment
     matrices): the weight-lo pass vanishes, so parity grade needs only the
     two activation passes.  At other precisions, identical to ``_dot``."""
+    if precision == "bf16":
+        return jnp.dot(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
     if precision == "bf16x3":
         bf16, f32 = jnp.bfloat16, jnp.float32
         one = jax.lax.Precision.DEFAULT
@@ -164,8 +179,14 @@ def _net_kernel(
     seg_c = seg_ref[...]      # [H, heads], holds 1/sqrt(dk)
     segt_c = segt_ref[...]    # [heads, H]
 
+    # Fast path: activations stay bf16-resident between ops (matmul
+    # accumulation, layernorm stats and softmax still run in f32); halves
+    # the VMEM/vreg footprint of every stored intermediate.
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
     if has_io:
-        h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts, precision)
+        h = _cheb(x_ref[...], win_ref[...], bin_ref[...], terms, n_pts,
+                  precision).astype(act)
     else:
         h = x_ref[...]
 
@@ -173,7 +194,7 @@ def _net_kernel(
         # ---- attention sublayer ----
         y = _layer_norm(h, ln1s_ref[l], ln1b_ref[l], h_dim)
         qkv = _dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l], precision) + bqkv_ref[l]
-        qkv = qkv.reshape(n_pts, tb, 3 * h_dim)
+        qkv = qkv.reshape(n_pts, tb, 3 * h_dim).astype(act)
         q = qkv[..., :h_dim]
         k = qkv[..., h_dim:2 * h_dim]
         v = qkv[..., 2 * h_dim:]
@@ -214,7 +235,7 @@ def _net_kernel(
         att = (
             _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
         ).reshape(n_pts, tb, h_dim)
-        h = h + att
+        h = (h + att).astype(act)
 
         # ---- GraphNet sublayer ----
         y = _layer_norm(h, ln2s_ref[l], ln2b_ref[l], h_dim)
@@ -226,19 +247,20 @@ def _net_kernel(
         y = (
             _dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l], precision) + bfc2_ref[l]
         ).reshape(n_pts, tb, h_dim)
-        h = h + y
+        h = (h + y).astype(act)
 
         # ---- residual Chebyshev block (timestep injection when present) ----
         u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts, precision))
         if tp_ref is not None:
             u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
         u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
-        h = h + u
+        h = (h + u).astype(act)
 
     if has_io:
-        o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts, precision)
+        o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts,
+                           precision).astype(o_ref.dtype)
     else:
-        o_ref[...] = h
+        o_ref[...] = h.astype(o_ref.dtype)
 
 
 def _segment_matrices(num_heads, hid_dim):
@@ -361,6 +383,8 @@ def make_pallas_denoiser_fn(
     n_pts = basis.shape[1]
     terms = _sparse_terms(np.asarray(basis, np.float64))
     seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    seg_j, segt_j = seg_j.astype(act), segt_j.astype(act)  # exact 0/1
     f32 = jnp.float32
 
     kernel = functools.partial(
@@ -374,7 +398,11 @@ def make_pallas_denoiser_fn(
         weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
         c_in = params["gconv_input"]["w"].shape[1]
         c_out = params["gconv_output"]["w"].shape[2]
-        w_args = [weights[k] for k in _W_ORDER]
+        # `lap` stays f32 even on the bf16 path: the kernel reads its
+        # entries as SCALARS (`_lap_mix`) and Mosaic only supports 32-bit
+        # scalar vector.extracts (probed on hardware).
+        w_args = [weights[k].astype(act if k != "lap" else jnp.float32)
+                  for k in _W_ORDER]
         w_specs = [_full_spec(w.shape) for w in w_args]
 
         stack = lambda f: jnp.stack([f(i) for i in range(num_layers)]).astype(f32)
@@ -402,9 +430,10 @@ def make_pallas_denoiser_fn(
         temb = timestep_embedding(t, hid_dim)
         temb = nn.swish(temb @ t0k + t0b) @ t1k + t1b
         st = nn.swish(temb)
-        tp = jnp.stack([st @ wtp[l] + btp[l] for l in range(num_layers)])  # [L, B, H]
+        tp = jnp.stack([st @ wtp[l] + btp[l]
+                        for l in range(num_layers)]).astype(act)  # [L, B, H]
 
-        xj = jnp.transpose(x.astype(f32), (1, 0, 2))  # [N, B, C]
+        xj = jnp.transpose(x.astype(act), (1, 0, 2))  # [N, B, C]
 
         out = pl.pallas_call(
             kernel,
@@ -464,6 +493,8 @@ def make_pallas_backbone_fn(
     n_pts = basis.shape[1]
     terms = _sparse_terms(np.asarray(basis, np.float64))
     seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    seg_j, segt_j = seg_j.astype(act), segt_j.astype(act)  # exact 0/1
 
     kernel = functools.partial(
         _net_kernel,
@@ -475,7 +506,8 @@ def make_pallas_backbone_fn(
 
     def fn(params, z: Array, tp: Array) -> Array:
         weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
-        w_args = [weights[k] for k in _W_ORDER_BACKBONE]
+        w_args = [weights[k].astype(act if k != "lap" else jnp.float32)
+                  for k in _W_ORDER_BACKBONE]  # lap: scalar reads need f32
         w_specs = [_full_spec(w.shape) for w in w_args]
         bsz = z.shape[0]
         bb = min(block_b, bsz)
@@ -484,7 +516,8 @@ def make_pallas_backbone_fn(
             z = jnp.pad(z, ((0, pad), (0, 0), (0, 0)))
             tp = jnp.pad(tp, ((0, 0), (0, pad), (0, 0)))
         bp = bsz + pad
-        zj = jnp.transpose(z.astype(f32), (1, 0, 2))  # [N, B, H]
+        zj = jnp.transpose(z.astype(act), (1, 0, 2))  # [N, B, H]
+        tp = tp.astype(act)
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pts, bp, hid_dim), f32),
@@ -532,6 +565,8 @@ def make_pallas_lifter_fn(
     n_pts = basis.shape[1]
     terms = _sparse_terms(np.asarray(basis, np.float64))
     seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    seg_j, segt_j = seg_j.astype(act), segt_j.astype(act)  # exact 0/1
 
     kernel = functools.partial(
         _net_kernel,
@@ -545,7 +580,11 @@ def make_pallas_lifter_fn(
         weights = _weight_stacks(params, num_layers, num_heads, hid_dim)
         c_in = params["gconv_input"]["w"].shape[1]
         c_out = params["gconv_output"]["w"].shape[2]
-        w_args = [weights[k] for k in _W_ORDER]
+        # `lap` stays f32 even on the bf16 path: the kernel reads its
+        # entries as SCALARS (`_lap_mix`) and Mosaic only supports 32-bit
+        # scalar vector.extracts (probed on hardware).
+        w_args = [weights[k].astype(act if k != "lap" else jnp.float32)
+                  for k in _W_ORDER]
         w_specs = [_full_spec(w.shape) for w in w_args]
         bsz = x.shape[0]
         bb = min(block_b, bsz)
@@ -554,7 +593,7 @@ def make_pallas_lifter_fn(
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
         bp = bsz + pad
-        xj = jnp.transpose(x.astype(f32), (1, 0, 2))  # [N, B, C]
+        xj = jnp.transpose(x.astype(act), (1, 0, 2))  # [N, B, C]
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((n_pts, bp, c_out), f32),

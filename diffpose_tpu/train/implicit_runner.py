@@ -310,12 +310,13 @@ class ImplicitRunner(DiffposeRunner):
             interpret = jax.default_backend() != "tpu"
             cached = (
                 make_pallas_igcn_fn(
-                    self.model_diff, precision="bf16x3", interpret=interpret,
+                    self.model_diff, precision=self.kernel_precision,
+                    interpret=interpret,
                 ),
                 make_pallas_lifter_fn(
                     self.basis,
                     num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
-                    precision="bf16x3", interpret=interpret,
+                    precision=self.kernel_precision, interpret=interpret,
                 ),
             )
             self._eval_cache["pallas_overrides_implicit"] = cached

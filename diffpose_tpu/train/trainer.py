@@ -63,6 +63,7 @@ class DiffposeRunner:
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
         exec_cache: bool = False,
+        kernel_precision: str = "bf16x3",  # "bf16x3" | "bf16" | "default"
     ):
         self.config = config
         self.seed = seed
@@ -102,6 +103,12 @@ class DiffposeRunner:
         # themselves are serialized under .jax_cache_exec/ and later
         # processes deserialize in seconds.
         self.exec_cache = exec_cache
+        # Pallas kernel matmul grade: "bf16x3" (parity, the default),
+        # "bf16" (bf16-resident activations + f32 accumulation — the
+        # non-parity FAST tier) or "default" (single-pass bf16 on f32
+        # operands).  Applies to --denoiser_impl pallas eval kernels.
+        self.kernel_precision = (
+            None if kernel_precision == "default" else kernel_precision)
 
         d = config.diffusion
         self.betas = get_beta_schedule(
@@ -284,7 +291,8 @@ class DiffposeRunner:
                 # the higher limit costs the masks standalone step ~7%
                 # (16.63 vs 15.49 ms — looser allocation choices).
                 blocks["vmem_limit_bytes"] = 100 * 2**20
-        return dict(interpret=interpret, dropout=dropout, **blocks)
+        return dict(interpret=interpret, dropout=dropout,
+                    precision=self.kernel_precision or "bf16x3", **blocks)
 
     def _build_train_step(self, steps_per_epoch: int):
         o = self.config.optim
@@ -535,7 +543,7 @@ class DiffposeRunner:
             m = self.config.model
             kernel_kw = dict(
                 num_layers=m.num_layer, num_heads=m.n_head, hid_dim=m.hid_dim,
-                precision="bf16x3",
+                precision=self.kernel_precision,
                 # off-TPU (CPU smoke/mesh tests) the kernels run interpreted
                 interpret=jax.default_backend() != "tpu",
             )

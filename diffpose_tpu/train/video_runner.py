@@ -57,6 +57,7 @@ class VideoRunner:
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
         exec_cache: bool = False,
+        kernel_precision: str = "bf16x3",
     ):
         self.config = config
         self.video_cfg = config.video or VideoConfig()
@@ -75,6 +76,9 @@ class VideoRunner:
         self.train_matmul_precision = train_matmul_precision
         # disk-backed executable cache (utils/aot_cache.py, see DiffposeRunner)
         self.exec_cache = exec_cache
+        # Pallas kernel matmul grade (see DiffposeRunner.kernel_precision)
+        self.kernel_precision = (
+            None if kernel_precision == "default" else kernel_precision)
         self._denoise_override = None
 
         d = config.diffusion
@@ -291,7 +295,7 @@ class VideoRunner:
             assert bool(np.all(np.asarray(self.mask) == 1)), (
                 "--denoiser_impl pallas assumes the all-True joint mask")
             self._denoise_override = make_pallas_video_denoiser_fn(
-                self.model, precision="bf16x3",
+                self.model, precision=self.kernel_precision,
                 interpret=jax.default_backend() != "tpu",
             )
         return self._denoise_override

@@ -50,6 +50,41 @@ def _device_fingerprint() -> str:
         return jax.default_backend()
 
 
+_CODE_FP = None
+
+
+def code_fingerprint() -> str:
+    """SHA-256 over every .py in the diffpose_tpu package (cached per
+    process).  Lets ``fast_key`` entries invalidate automatically when ANY
+    framework source changes, without paying a ``lower()`` to find out."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for root, dirs, files in sorted(os.walk(pkg)):
+            dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    path = os.path.join(root, fname)
+                    h.update(os.path.relpath(path, pkg).encode())
+                    with open(path, "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()
+    return _CODE_FP
+
+
+def _avals_sig(args, kwargs) -> str:
+    flat, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    parts = [str(treedef)]
+    for x in flat:
+        if hasattr(x, "shape"):
+            sh = getattr(x, "sharding", None)
+            parts.append(f"{x.shape}:{x.dtype}:{sh}")
+        else:
+            parts.append(repr(x))
+    return "|".join(parts)
+
+
 def cache_key(lowered, extra: str = "") -> str:
     """Digest of the lowered program + toolchain/device identity."""
     h = hashlib.sha256()
@@ -61,19 +96,40 @@ def cache_key(lowered, extra: str = "") -> str:
 
 
 def compile_cached(jitted, *args, cache_dir: str | None = None,
-                   extra_key: str = "", verbose: bool = True, **kwargs) -> Any:
+                   extra_key: str = "", fast_key: str | None = None,
+                   verbose: bool = True, **kwargs) -> Any:
     """``jitted.lower(*args).compile()`` with an executable disk cache.
 
     ``jitted`` must be a ``jax.jit``-wrapped callable; ``args``/``kwargs``
     are example arguments (shapes/dtypes matter, values don't).  Returns a
     loaded executable callable with the same signature.  On a cache hit the
     backend compile is skipped entirely (deserialize ≈ milliseconds).
+
+    ``fast_key``: opt-in key that ALSO skips ``jit.lower()`` on a hit —
+    necessary for the Mosaic whole-network programs, whose lowering alone
+    takes minutes here.  The caller must pick a string that uniquely
+    determines the program given the argument avals (shapes, dtypes,
+    shardings are hashed in automatically, as is a fingerprint of the
+    whole package source, so framework code edits invalidate cleanly).
     """
     from jax.experimental import serialize_executable as se
 
     cache_dir = cache_dir or os.environ.get("DIFFPOSE_EXEC_CACHE", DEFAULT_DIR)
-    lowered = jitted.lower(*args, **kwargs)
-    key = cache_key(lowered, extra_key)
+    if fast_key is not None:
+        # Hit path WITHOUT lowering: for the whole-network Mosaic programs
+        # even jit.lower() costs minutes (the kernel lowering pipeline runs
+        # there, docs/PERF.md), so the caller vouches that (fast_key + arg
+        # avals/shardings) pins the program; the package-source fingerprint
+        # invalidates entries on any framework code change.
+        h = hashlib.sha256()
+        for part in (jax.__version__, _device_fingerprint(),
+                     code_fingerprint(), extra_key, fast_key,
+                     _avals_sig(args, kwargs)):
+            h.update(part.encode())
+        key = h.hexdigest()
+    else:
+        lowered = jitted.lower(*args, **kwargs)
+        key = cache_key(lowered, extra_key)
     path = os.path.join(cache_dir, key + ".pkl")
 
     if os.path.exists(path):
@@ -98,6 +154,8 @@ def compile_cached(jitted, *args, cache_dir: str | None = None,
                 print(f"# exec-cache entry unusable ({type(e).__name__}: {e}); "
                       "recompiling", file=sys.stderr)
 
+    if fast_key is not None:
+        lowered = jitted.lower(*args, **kwargs)
     t0 = time.perf_counter()
     compiled = lowered.compile()
     if verbose:
@@ -120,7 +178,7 @@ def compile_cached(jitted, *args, cache_dir: str | None = None,
 
 
 def cached_jit(jitted, cache_dir: str | None = None, extra_key: str = "",
-               verbose: bool = True):
+               fast_key: str | None = None, verbose: bool = True):
     """Wrap a ``jax.jit``-ed callable so each argument-shape signature is
     compiled through :func:`compile_cached` (disk-backed) exactly once.
 
@@ -146,7 +204,8 @@ def cached_jit(jitted, cache_dir: str | None = None, extra_key: str = "",
         fn = memo.get(sig) if sig is not None else None
         if fn is None:
             fn = compile_cached(jitted, *args, cache_dir=cache_dir,
-                                extra_key=extra_key, verbose=verbose, **kwargs)
+                                extra_key=extra_key, fast_key=fast_key,
+                                verbose=verbose, **kwargs)
             if sig is not None:
                 memo[sig] = fn
         return fn(*args, **kwargs)

@@ -103,6 +103,11 @@ def main():
                              test_times=1, precision="bf16x3")
     report("Pallas fused bf16x3 (r2 headline)",
            np.asarray(jax.jit(fused)(x2d)))
+    # Non-parity speed tier: bf16-resident activations, f32 accumulation.
+    fast = make_pallas_eval(pp, pd, basis, seq=SEQ, betas=betas,
+                            test_times=1, precision="bf16")
+    report("Pallas fused bf16 (FAST tier)",
+           np.asarray(jax.jit(fast)(x2d)))
 
 
 if __name__ == "__main__":

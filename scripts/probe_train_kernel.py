@@ -73,9 +73,10 @@ def main():
 
     sweep = next((int(a[8:]) for a in sys.argv if a.startswith("--sweep=")), 0)
 
+    prec = next((a[7:] for a in sys.argv if a.startswith("--prec=")), "bf16x3")
     step = make_pallas_train_step(
         opt, betas, basis, block_b_fwd=bf, block_b_bwd=bb, group=grp,
-        precision="bf16x3", vmem_limit_bytes=vmem_mb * 2**20 or None)
+        precision=prec, vmem_limit_bytes=vmem_mb * 2**20 or None)
     key = jax.random.PRNGKey(1)
 
     if sweep:

@@ -111,3 +111,39 @@ def test_runner_exec_cache_roundtrip(tmp_path, monkeypatch):
     assert len(list(tmp_path.glob("*.pkl"))) == n_entries  # pure hits
     np.testing.assert_allclose(p1_a, p1_b, atol=1e-5)
     np.testing.assert_allclose(p2_a, p2_b, atol=1e-5)
+
+
+def test_fast_key_hit_skips_lowering(tmp_path, xw, capsys):
+    """fast_key entries deserialize WITHOUT calling jit.lower (the Mosaic
+    programs pay ~150 s in lower alone on hardware)."""
+    x, w = xw
+
+    class CountingJit:
+        def __init__(self, jitted):
+            self._jitted = jitted
+            self.lower_calls = 0
+
+        def lower(self, *a, **k):
+            self.lower_calls += 1
+            return self._jitted.lower(*a, **k)
+
+        def __call__(self, *a, **k):
+            return self._jitted(*a, **k)
+
+    j1 = CountingJit(jax.jit(_fn))
+    c1 = compile_cached(j1, x, w, cache_dir=str(tmp_path), fast_key="probe-v1")
+    assert j1.lower_calls == 1  # miss: lowered + compiled + stored
+    want = np.asarray(c1(x, w))
+
+    j2 = CountingJit(jax.jit(_fn))
+    c2 = compile_cached(j2, x, w, cache_dir=str(tmp_path), fast_key="probe-v1")
+    assert j2.lower_calls == 0  # hit: no lowering at all
+    assert "exec-cache hit" in capsys.readouterr().err
+    np.testing.assert_allclose(np.asarray(c2(x, w)), want, atol=1e-6)
+
+    # different fast_key or different shapes → separate entries
+    compile_cached(CountingJit(jax.jit(_fn)), x, w,
+                   cache_dir=str(tmp_path), fast_key="probe-v2")
+    compile_cached(CountingJit(jax.jit(_fn)), x[:4], w,
+                   cache_dir=str(tmp_path), fast_key="probe-v1")
+    assert len(list(tmp_path.glob("*.pkl"))) == 3
