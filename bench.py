@@ -54,22 +54,33 @@ def bench_tpu(iters: int = 25) -> float:
         import subprocess
 
         budget = int(os.environ.get("BENCH_PALLAS_TIMEOUT_S", "1500"))
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", str(iters)],
-                env={**os.environ, "BENCH_CHILD": "1"},
-                timeout=budget, capture_output=True, text=True,
-            )
-            sys.stderr.write(res.stderr)
-            for line in res.stdout.splitlines():
-                if line.startswith("CHILD_FPS "):
-                    return float(line.split()[1])
-            print("# pallas child produced no result; falling back to the "
-                  "XLA path", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"# pallas compile/run exceeded {budget}s watchdog "
-                  "(degraded remote-compile service); falling back to the "
-                  "XLA path", file=sys.stderr)
+        attempts = int(os.environ.get("BENCH_PALLAS_ATTEMPTS", "2"))
+        for attempt in range(1, attempts + 1):
+            # Retry once before surrendering to the XLA fallback: the
+            # degraded service hangs intermittently, and a first child
+            # that compiled-but-timed-out mid-measure has already stored
+            # its executable, so the retry starts from the disk cache.
+            try:
+                res = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child", str(iters)],
+                    env={**os.environ, "BENCH_CHILD": "1"},
+                    timeout=budget, capture_output=True, text=True,
+                )
+                sys.stderr.write(res.stderr)
+                for line in res.stdout.splitlines():
+                    if line.startswith("CHILD_FPS "):
+                        return float(line.split()[1])
+                print(f"# pallas child produced no result "
+                      f"(attempt {attempt}/{attempts})", file=sys.stderr)
+            except subprocess.TimeoutExpired as e:
+                sys.stderr.write((e.stderr or b"").decode(errors="replace")
+                                 if isinstance(e.stderr, bytes)
+                                 else (e.stderr or ""))
+                print(f"# pallas compile/run exceeded {budget}s watchdog "
+                      f"(degraded remote-compile service; attempt "
+                      f"{attempt}/{attempts})", file=sys.stderr)
+        print("# all pallas attempts failed; falling back to the XLA path",
+              file=sys.stderr)
         os.environ["BENCH_IMPL"] = "xla"
 
     # Parity-grade precision: TPU default single-pass-bf16 matmuls cost
@@ -183,19 +194,29 @@ def _bench_tpu_inner(iters: int) -> float:
         # compilation cache, but serialized executables round-trip
         # (scripts/probe_aot.py) — the second bench run skips the ~300 s
         # Mosaic compile entirely and starts measuring in seconds.
+        import hashlib
+        import inspect
+
         from diffpose_tpu.utils.aot_cache import compile_cached
 
         prec = os.environ.get("BENCH_PRECISION", "bf16x3")
         xla_prec = os.environ.get("BENCH_XLA_PRECISION", "BF16_BF16_F32_X3")
+        # The program body partially lives in THIS file (the XLA eval_one
+        # and the eval_sweep scan) — outside the compute-path fingerprint
+        # compile_cached hashes automatically — so hash it in here: a
+        # bench.py edit must invalidate, a README edit must not.
+        self_src = hashlib.sha256(
+            inspect.getsource(_bench_tpu_inner).encode()).hexdigest()[:16]
         eval_sweep = compile_cached(
             eval_sweep, pp, pd, x,
             # fast_key: skip even jit.lower() on a hit (Mosaic lowering
             # alone is ~150 s here) — these knobs + the hashed arg avals +
-            # the package-source fingerprint pin the program exactly.
+            # the compute-path source fingerprint pin the program exactly.
             fast_key=(f"bench-eval-sweep:{os.environ.get('BENCH_IMPL', 'pallas')}"
                       f":{prec}:{xla_prec}:b{BATCH}:seq{SEQ}:tt{TEST_TIMES}"
                       f":bb{os.environ.get('BENCH_BLOCK_B', '128')}"
-                      f":vm{os.environ.get('BENCH_VMEM_MB', '0')}"))
+                      f":vm{os.environ.get('BENCH_VMEM_MB', '0')}"
+                      f":src{self_src}"))
     eval_sweep(pp, pd, x).block_until_ready()  # compile (no-op on a cache hit)
     compile_s = time.perf_counter() - t0
     print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
@@ -284,6 +305,7 @@ def main():
         return
     baseline = get_baseline()
     value = bench_tpu()
+    check_regression(value)
     vs = value / baseline if baseline > 0 else 0.0
     print(json.dumps({
         "metric": "h36m_eval_ddim_frames_per_sec_per_chip",
@@ -291,6 +313,32 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
     }))
+
+
+def check_regression(value: float) -> None:
+    """Loud tripwire: a silent fallback must never masquerade as the
+    round's capability (round 3 recorded 88.7k while the code did 143k —
+    VERDICT r3).  Compares against the best prior round's recorded value
+    and shouts on stderr when this run is >10% below it."""
+    import glob
+    import re
+
+    best, best_round = 0.0, None
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            v = float(rec.get("parsed", rec).get("value", 0.0))
+        except Exception:
+            continue
+        if v > best:
+            m = re.search(r"BENCH_r(\d+)", path)
+            best, best_round = v, (m.group(1) if m else "?")
+    if best_round is not None and value < 0.9 * best:
+        print(f"# REGRESSION vs r{best_round}: {value:.1f} frames/s is "
+              f">10% below the best prior recorded {best:.1f} — a fallback "
+              "or degraded-service artifact, not the code's capability",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -101,10 +101,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "(this backend ignores JAX's persistent HLO cache)")
     parser.add_argument("--kernel_precision", default="bf16x3",
                         choices=("bf16x3", "bf16", "default"),
-                        help="Pallas kernel matmul grade (--denoiser_impl "
-                        "pallas): bf16x3 (parity-grade emulated f32), bf16 "
+                        help="Pallas kernel matmul grade (applies to "
+                        "--denoiser_impl pallas eval AND --train_impl pallas "
+                        "training): bf16x3 (parity-grade emulated f32), bf16 "
                         "(bf16-resident activations + f32 accumulation -- "
-                        "non-parity FAST tier), default (single-pass bf16)")
+                        "non-parity FAST tier), default (single-pass bf16 for "
+                        "eval; train kernels floor at bf16x3)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "

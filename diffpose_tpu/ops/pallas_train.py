@@ -117,7 +117,8 @@ def _lap_mix_t(lap2d, z, n_pts, transpose=False):
     return jnp.stack(rows)
 
 
-def _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group):
+def _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group,
+                   ikp=IKP):
     """Grouped all-pairs attention with prob-dropout.
 
     ``q`` pre-scaled by 1/√dk (folded in prep); ``mp``: [Nk, Nq, tb, H]
@@ -136,13 +137,14 @@ def _attention_fwd(q, k, v, mp, seg_c, segt_c, n_pts, precision, group):
         probs = e / jnp.sum(e, axis=0, keepdims=True)
         w = _dot_exact_w(probs.reshape(-1, seg_c.shape[1]), segt_c, precision)
         w = w.reshape(n_pts, g, p.shape[2], h_dim)
-        wd = w * (mp[:, g0:g0 + g] * IKP)
+        wd = w * (mp[:, g0:g0 + g] * ikp)
         att_rows.append(jnp.sum(wd * v[:, None], axis=0))  # [g, tb, H]
     return jnp.concatenate(att_rows, axis=0)
 
 
 def _layer_fwd_math(h, tp_j, masks, lw, seg_c, segt_c,
-                    *, terms, n_pts, h_dim, precision, group):
+                    *, terms, n_pts, h_dim, precision, group,
+                    ikp=IKP, iks=IKS, ikc=IKC):
     """One GraAttenLayer+ResChebGCDiff layer forward.
 
     ``masks``: dict of f32 0/1 values — ``mp`` [Nk,Nq,tb,H] (head-expanded
@@ -161,12 +163,12 @@ def _layer_fwd_math(h, tp_j, masks, lw, seg_c, segt_c,
     k = qkv[..., h_dim:2 * h_dim]
     v = qkv[..., 2 * h_dim:]
     att = _attention_fwd(
-        q, k, v, masks["mp"], seg_c, segt_c, n_pts, precision, group)
+        q, k, v, masks["mp"], seg_c, segt_c, n_pts, precision, group, ikp)
     st["att"] = att
     o1 = (
         _dot(att.reshape(n_pts * tb, h_dim), lw["wao"], precision) + lw["bao"]
     ).reshape(n_pts, tb, h_dim)
-    h = h + o1 * (masks["m1"] * IKS)
+    h = h + o1 * (masks["m1"] * iks)
     st["hb"] = h
 
     # ---- GraphNet sublayer ----
@@ -180,17 +182,17 @@ def _layer_fwd_math(h, tp_j, masks, lw, seg_c, segt_c,
     f2 = (
         _dot(g2.reshape(n_pts * tb, 2 * h_dim), lw["wfc2"], precision) + lw["bfc2"]
     ).reshape(n_pts, tb, h_dim)
-    h = h + f2 * (masks["m2"] * IKS)
+    h = h + f2 * (masks["m2"] * iks)
     st["hc"] = h
 
     # ---- residual Chebyshev block (dropout inside each conv) ----
     rc1 = jax.nn.relu(_cheb(h, lw["wg1"], lw["bg1"], terms, n_pts, precision))
     st["rc1"] = rc1
-    u = rc1 * (masks["m3"] * IKC) + tp_j
+    u = rc1 * (masks["m3"] * ikc) + tp_j
     st["u"] = u
     rd1 = jax.nn.relu(_cheb(u, lw["wg2"], lw["bg2"], terms, n_pts, precision))
     st["rd1"] = rd1
-    h = h + rd1 * (masks["m4"] * IKC)
+    h = h + rd1 * (masks["m4"] * ikc)
     return h, st
 
 
@@ -225,6 +227,7 @@ def _stack_fwd_kernel(
     # scratch
     h_s,
     *, terms, n_pts, num_layers, num_heads, h_dim, precision, group,
+    ikp=IKP, iks=IKS, ikc=IKC,
 ):
     j = pl.program_id(1)
     f32 = jnp.float32
@@ -244,7 +247,7 @@ def _stack_fwd_kernel(
     h, st = _layer_fwd_math(
         h_s[...], tp_ref[0], masks, lw, seg_ref[...], segt_ref[...],
         terms=terms, n_pts=n_pts, h_dim=h_dim, precision=precision,
-        group=group)
+        group=group, ikp=ikp, iks=iks, ikc=ikc)
     for ref, key in zip(
             (ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref),
             STASH_KEYS):
@@ -269,7 +272,10 @@ def _uniform_01(shape):
     return top.astype(jnp.float32) * (2.0 ** -23)
 
 
-def _gen_masks(seed0, l, i, nck, mtb, n_pts, h_dim, heads, segt_c, precision):
+def _gen_masks(seed0, l, i, nck, mtb, n_pts, h_dim, heads, segt_c, precision,
+               keep_p=1.0 - RATE_ATTN_PROBS,
+               keeps=(1.0 - RATE_SUBLAYER, 1.0 - RATE_SUBLAYER,
+                      1.0 - RATE_CHEB, 1.0 - RATE_CHEB)):
     """Draw this (layer, batch-tile)'s dropout masks from the TPU PRNG.
 
     Each mask is seeded independently per (layer ``l``, global batch chunk,
@@ -277,10 +283,9 @@ def _gen_masks(seed0, l, i, nck, mtb, n_pts, h_dim, heads, segt_c, precision):
     chunk grid aligns on ``mtb`` — regenerate identical bits in any order.
     Returns f32 0/1 values: ``mp`` [N,N,tb,H] (head-expanded), ``mph``
     [N,N,tb,heads] (compact, for dump/validation), ``m1..m4`` [N,tb,H].
+    ``keep_p``/``keeps``: keep-probabilities for the probs / (m1..m4)
+    streams (defaults: the frame model's reference rates).
     """
-    keep_p = 1.0 - RATE_ATTN_PROBS
-    keeps = (1.0 - RATE_SUBLAYER, 1.0 - RATE_SUBLAYER,
-             1.0 - RATE_CHEB, 1.0 - RATE_CHEB)
     mp_cs, mph_cs = [], []
     m_cs = ([], [], [], [])
     for c in range(nck):
@@ -320,6 +325,10 @@ def _stack_fwd_kernel_prng(
     *refs,
     # static
     terms, n_pts, num_layers, num_heads, h_dim, precision, group, mtb, dump,
+    ikp=IKP, iks=IKS, ikc=IKC,
+    keep_p=1.0 - RATE_ATTN_PROBS,
+    keeps=(1.0 - RATE_SUBLAYER, 1.0 - RATE_SUBLAYER,
+           1.0 - RATE_CHEB, 1.0 - RATE_CHEB),
 ):
     (d5_ref, ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref,
      hc_ref, u_ref) = refs[:10]
@@ -334,7 +343,8 @@ def _stack_fwd_kernel_prng(
 
     tb = h0_ref.shape[1]
     masks = _gen_masks(seed_ref[0], j, i, tb // mtb, mtb, n_pts, h_dim,
-                       num_heads, segt_ref[...], precision)
+                       num_heads, segt_ref[...], precision,
+                       keep_p=keep_p, keeps=keeps)
     if dump:
         dump_refs[0][0] = masks["mph"]
         for r, key in zip(dump_refs[1:], ("m1", "m2", "m3", "m4")):
@@ -345,7 +355,7 @@ def _stack_fwd_kernel_prng(
     h, st = _layer_fwd_math(
         h_s[...], tp_ref[0], masks, lw, seg_ref[...], segt_ref[...],
         terms=terms, n_pts=n_pts, h_dim=h_dim, precision=precision,
-        group=group)
+        group=group, ikp=ikp, iks=iks, ikc=ikc)
     for ref, key in zip(
             (ha_ref, hb_ref, y1_ref, att_ref, r1_ref, rc1_ref, rd1_ref,
              hc_ref, u_ref),
@@ -373,7 +383,8 @@ def _ln_bwd(g, x, scale, h_dim):
     return dc - jnp.mean(dc, axis=-1, keepdims=True)
 
 
-def _attention_bwd(q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group):
+def _attention_bwd(q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group,
+                   ikp=IKP):
     """Recompute probs, backprop through dropout·softmax·scores.
 
     Returns ``dqkv`` pieces: (dq [Nq,tb,H], dk [Nk,tb,H], dv [Nk,tb,H]).
@@ -394,7 +405,7 @@ def _attention_bwd(q, k, v, mp, datt, seg_c, segt_c, n_pts, precision, group):
         e = jnp.exp(s - smax)
         probs = e / jnp.sum(e, axis=0, keepdims=True)      # [Nk, g, tb, h]
 
-        mpg = mp[:, g0:g0 + g] * IKP                       # [Nk, g, tb, H]
+        mpg = mp[:, g0:g0 + g] * ikp                       # [Nk, g, tb, H]
         dg = datt[g0:g0 + g]                               # [g, tb, H]
         # dv[m] += wd[m]·datt ;  dwd[m] = v[m]·datt
         w = _dot_exact_w(probs.reshape(-1, heads), segt_c, precision)
@@ -455,7 +466,8 @@ def _terms_transposed(basis: np.ndarray, tol: float = 1e-12):
 
 
 def _layer_bwd_math(dh, masks, st, lw, seg_c, segt_c,
-                    *, terms_t, n_pts, h_dim, precision, group):
+                    *, terms_t, n_pts, h_dim, precision, group,
+                    ikp=IKP, iks=IKS, ikc=IKC):
     """One layer backward from upstream grad ``dh`` (wrt the layer output).
 
     ``st``: stash VALUES for this layer; ``lw``: per-layer weight values
@@ -464,15 +476,15 @@ def _layer_bwd_math(dh, masks, st, lw, seg_c, segt_c,
     tb = dh.shape[1]
 
     # ---- cheb block bwd:  D = C + rd1·M4·ikc ----
-    dc2 = (dh * (masks["m4"] * IKC)) * (st["rd1"] > 0)
+    dc2 = (dh * (masks["m4"] * ikc)) * (st["rd1"] > 0)
     du = _cheb_bwd_data(dc2, lw["wg2t"], terms_t, n_pts, precision)
     # u = rc1·M3·ikc + tp  →  dtp = Σ_joints du
     dtp_j = jnp.sum(du, axis=0)
-    dc1 = (du * (masks["m3"] * IKC)) * (st["rc1"] > 0)
+    dc1 = (du * (masks["m3"] * ikc)) * (st["rc1"] > 0)
     dC = dh + _cheb_bwd_data(dc1, lw["wg1t"], terms_t, n_pts, precision)
 
     # ---- GraphNet bwd:  C = B + f2·M2·iks ----
-    df2 = dC * (masks["m2"] * IKS)
+    df2 = dC * (masks["m2"] * iks)
     dg2 = _dot(df2.reshape(n_pts * tb, h_dim), lw["wfc2t"], precision)
     dg2 = dg2.reshape(n_pts, tb, 2 * h_dim)
     df1 = _lap_mix_t(lw["lap"], dg2, n_pts, transpose=True) * (st["r1"] > 0)
@@ -482,7 +494,7 @@ def _layer_bwd_math(dh, masks, st, lw, seg_c, segt_c,
     dB = dC + _ln_bwd(dy2, st["hb"], lw["ln2s"], h_dim)
 
     # ---- attention bwd:  B = A + o1·M1·iks ----
-    do1 = dB * (masks["m1"] * IKS)
+    do1 = dB * (masks["m1"] * iks)
     datt = _dot(do1.reshape(n_pts * tb, h_dim), lw["waot"], precision)
     datt = datt.reshape(n_pts, tb, h_dim)
     qkv = _dot(st["y1"].reshape(n_pts * tb, h_dim), lw["wqkv"], precision) \
@@ -492,7 +504,8 @@ def _layer_bwd_math(dh, masks, st, lw, seg_c, segt_c,
     k = qkv[..., h_dim:2 * h_dim]
     v = qkv[..., 2 * h_dim:]
     dq, dk, dv = _attention_bwd(
-        q, k, v, masks["mp"], datt, seg_c, segt_c, n_pts, precision, group)
+        q, k, v, masks["mp"], datt, seg_c, segt_c, n_pts, precision, group,
+        ikp)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)          # [N, tb, 3H]
     dy1 = _dot(dqkv.reshape(n_pts * tb, 3 * h_dim), lw["wqkvt"], precision)
     dy1 = dy1.reshape(n_pts, tb, h_dim)
@@ -530,6 +543,7 @@ def _stack_bwd_kernel(
     # scratch
     dh_s,
     *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision, group,
+    ikp=IKP, iks=IKS, ikc=IKC,
 ):
     j = pl.program_id(1)   # 0 .. L-1, processing layer (L-1-j)
     l = num_layers - 1 - j  # layer index for the FULL (small 2D) stacks
@@ -551,7 +565,7 @@ def _stack_bwd_kernel(
     dA, dtp_j, ds = _layer_bwd_math(
         dh_s[...], masks, st, lw, seg_ref[...], segt_ref[...],
         terms_t=terms_t, n_pts=n_pts, h_dim=h_dim, precision=precision,
-        group=group)
+        group=group, ikp=ikp, iks=iks, ikc=ikc)
     dtp_ref[0] = dtp_j
     for ref, key in zip(
             (dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref),
@@ -581,6 +595,10 @@ def _stack_bwd_kernel_prng(
     dh_s,
     *, terms, terms_t, n_pts, num_layers, num_heads, h_dim, precision,
     group, mtb,
+    ikp=IKP, iks=IKS, ikc=IKC,
+    keep_p=1.0 - RATE_ATTN_PROBS,
+    keeps=(1.0 - RATE_SUBLAYER, 1.0 - RATE_SUBLAYER,
+           1.0 - RATE_CHEB, 1.0 - RATE_CHEB),
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -592,7 +610,8 @@ def _stack_bwd_kernel_prng(
 
     tb = dd5_ref.shape[1]
     masks = _gen_masks(seed_ref[0], l, i, tb // mtb, mtb, n_pts, h_dim,
-                       num_heads, segt_ref[...], precision)
+                       num_heads, segt_ref[...], precision,
+                       keep_p=keep_p, keeps=keeps)
     st = {"ha": ha_ref[0], "hb": hb_ref[0], "y1": y1_ref[0],
           "r1": r1_ref[0], "rc1": rc1_ref[0], "rd1": rd1_ref[0]}
     lw = _bwd_lw(l, ln1s_ref, ln2s_ref, wqkv_ref, wqkvt_ref, waot_ref,
@@ -600,7 +619,7 @@ def _stack_bwd_kernel_prng(
     dA, dtp_j, ds = _layer_bwd_math(
         dh_s[...], masks, st, lw, seg_ref[...], segt_ref[...],
         terms_t=terms_t, n_pts=n_pts, h_dim=h_dim, precision=precision,
-        group=group)
+        group=group, ikp=ikp, iks=iks, ikc=ikc)
     dtp_ref[0] = dtp_j
     for ref, key in zip(
             (dqkv_ref, do1_ref, df1_ref, df2_ref, dc1_ref, dc2_ref),
@@ -648,9 +667,15 @@ def build_pallas_train_stack(
     dropout: str = "masks",
     interpret: bool = False,
     vmem_limit_bytes=None,   # raise Mosaic's 16 MB scoped-VMEM default
+    rates=None,              # (p_attn_probs, p_sublayer, p_cheb) dropout rates
 ):
     """Build ``stack_apply(weights, h0, tp, masks_or_seed) → d5`` with a
     custom VJP backed by the fused kernels.
+
+    ``rates`` overrides the dropout rates baked into the kernels as
+    ``(p_attn_probs, p_sublayer, p_cheb)`` — defaults to the frame
+    model's reference rates (0.1, 0.25, 0.1); the video family's spatial
+    blocks use a different sublayer rate (``models/video.py``).
 
     ``weights``: dict of stacked per-layer tensors (STACK_KEYS subset of
     ``_prep_weights`` output); ``h0``: [N, B, H] joint-major (cheb-input
@@ -669,6 +694,14 @@ def build_pallas_train_stack(
     training batch (1024) is; the caller asserts.
     """
     assert dropout in ("masks", "prng"), dropout
+    if rates is None:
+        rates = (RATE_ATTN_PROBS, RATE_SUBLAYER, RATE_CHEB)
+    p_probs, p_sub, p_cheb = (float(r) for r in rates)
+    ikp = 1.0 / (1.0 - p_probs)
+    iks = 1.0 / (1.0 - p_sub)
+    ikc = 1.0 / (1.0 - p_cheb)
+    keep_p = 1.0 - p_probs
+    keeps = (1.0 - p_sub, 1.0 - p_sub, 1.0 - p_cheb, 1.0 - p_cheb)
     n_pts = basis.shape[1]
     terms = _sparse_terms(np.asarray(basis, np.float64))
     terms_t = _terms_transposed(np.asarray(basis, np.float64))
@@ -689,11 +722,12 @@ def build_pallas_train_stack(
 
     fwd_kernel = functools.partial(
         _stack_fwd_kernel, terms=terms, n_pts=n_pts, num_layers=L,
-        num_heads=num_heads, h_dim=H, precision=precision, group=group)
+        num_heads=num_heads, h_dim=H, precision=precision, group=group,
+        ikp=ikp, iks=iks, ikc=ikc)
     bwd_kernel = functools.partial(
         _stack_bwd_kernel, terms=terms, terms_t=terms_t, n_pts=n_pts,
         num_layers=L, num_heads=num_heads, h_dim=H, precision=precision,
-        group=group)
+        group=group, ikp=ikp, iks=iks, ikc=ikc)
 
     def run_fwd(w, h0, tp, masks_or_seed, dump=False):
         bsz = h0.shape[1]
@@ -742,7 +776,8 @@ def build_pallas_train_stack(
                 _stack_fwd_kernel_prng, terms=terms, n_pts=n_pts,
                 num_layers=L, num_heads=num_heads, h_dim=H,
                 precision=precision, group=group, mtb=min(mtb, tb),
-                dump=dump)
+                dump=dump, ikp=ikp, iks=iks, ikc=ikc,
+                keep_p=keep_p, keeps=keeps)
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
                 *data_specs,
@@ -854,7 +889,8 @@ def build_pallas_train_stack(
             kern = functools.partial(
                 _stack_bwd_kernel_prng, terms=terms, terms_t=terms_t,
                 n_pts=n_pts, num_layers=L, num_heads=num_heads, h_dim=H,
-                precision=precision, group=group, mtb=min(mtb, tb))
+                precision=precision, group=group, mtb=min(mtb, tb),
+                ikp=ikp, iks=iks, ikc=ikc, keep_p=keep_p, keeps=keeps)
             in_specs = [
                 pl.BlockSpec(memory_space=pltpu.SMEM),           # seed
                 dd5_spec, *stash_specs, *weight_specs,
@@ -924,9 +960,9 @@ def build_pallas_train_stack(
         else:
             f2 = jnp.einsum("lnbc,lcd->lnbd", g2, w["wfc2"]) \
                 + w["bfc2"][:, None, None]
-            hc = st["hb"] + f2 * (masks["gnet_out"].astype(f32) * IKS)
+            hc = st["hb"] + f2 * (masks["gnet_out"].astype(f32) * iks)
             # u = rc1·M3·ikc + tp — tp enters the cheb2 input
-            u = st["rc1"] * (masks["cheb1"].astype(f32) * IKC) + tp[:, None]
+            u = st["rc1"] * (masks["cheb1"].astype(f32) * ikc) + tp[:, None]
         xk = lambda z: jnp.einsum("knm,lmbc->lknbc", basis_j, z)
         dwg = lambda z, d: jnp.einsum("lknbc,lnbd->lkcd", xk(z), d)
         dg1 = jnp.einsum("lnbd,lcd->lnbc", ds["df1"], w["wfc1"])

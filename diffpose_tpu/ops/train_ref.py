@@ -56,20 +56,23 @@ class DropoutMasks(NamedTuple):
 
 def make_dropout_masks(
     key: Array, *, num_layers: int, n_pts: int, batch: int,
-    num_heads: int, hid_dim: int, dtype=jnp.float32,
+    num_heads: int, hid_dim: int, dtype=jnp.float32, rates=None,
 ) -> DropoutMasks:
     """Draw all masks for one step (flax ``nn.Dropout`` semantics:
-    ``bernoulli(keep_prob)``)."""
+    ``bernoulli(keep_prob)``).  ``rates``: optional
+    ``(p_attn_probs, p_sublayer, p_cheb)`` override (the video family's
+    spatial blocks use a non-reference sublayer rate)."""
+    p_probs, p_sub, p_cheb = rates or (RATE_ATTN_PROBS, RATE_SUBLAYER, RATE_CHEB)
     kp, k1, k2, k3, k4 = jax.random.split(key, 5)
     l, n, b, h, hd = num_layers, n_pts, batch, num_heads, hid_dim
     bern = lambda k, rate, shape: jax.random.bernoulli(
         k, 1.0 - rate, shape).astype(dtype)
     return DropoutMasks(
-        probs=bern(kp, RATE_ATTN_PROBS, (l, n, n, b, h)),
-        attn_out=bern(k1, RATE_SUBLAYER, (l, n, b, hd)),
-        gnet_out=bern(k2, RATE_SUBLAYER, (l, n, b, hd)),
-        cheb1=bern(k3, RATE_CHEB, (l, n, b, hd)),
-        cheb2=bern(k4, RATE_CHEB, (l, n, b, hd)),
+        probs=bern(kp, p_probs, (l, n, n, b, h)),
+        attn_out=bern(k1, p_sub, (l, n, b, hd)),
+        gnet_out=bern(k2, p_sub, (l, n, b, hd)),
+        cheb1=bern(k3, p_cheb, (l, n, b, hd)),
+        cheb2=bern(k4, p_cheb, (l, n, b, hd)),
     )
 
 
@@ -98,13 +101,15 @@ def layers_forward(
     num_layers: int,
     num_heads: int,
     hid_dim: int,
+    rates=None,               # (p_attn_probs, p_sublayer, p_cheb) override
 ) -> Array:
-    """The 5-layer GraAttenLayer+ResChebGCDiff stack, training mode."""
+    """The L-layer GraAttenLayer+ResChebGCDiff stack, training mode."""
+    p_probs, p_sub, p_cheb = rates or (RATE_ATTN_PROBS, RATE_SUBLAYER, RATE_CHEB)
     n_pts = h.shape[0]
     dk = hid_dim // num_heads
-    kp_p = 1.0 - RATE_ATTN_PROBS
-    kp_s = 1.0 - RATE_SUBLAYER
-    kp_c = 1.0 - RATE_CHEB
+    kp_p = 1.0 - p_probs
+    kp_s = 1.0 - p_sub
+    kp_c = 1.0 - p_cheb
     w = weights
     basis = jnp.asarray(basis, h.dtype)
 

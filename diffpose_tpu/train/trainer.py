@@ -264,6 +264,13 @@ class DiffposeRunner:
         Steps run fastest at tiles (64, 32) with whole-row attention
         (group 17) — 15.49 ms/step standalone, 16.39 ms/step inside the
         train-sweep ``lax.scan`` (62.5k frames/s at b=1024; docs/PERF.md).
+
+        Precision: ``--kernel_precision bf16x3``/``bf16`` pass through to
+        the train kernels unchanged; the ``default`` tier (None) FLOORS at
+        bf16x3 here — single-pass bf16 gradients are untested numerics and
+        training has no parity oracle to catch the drift, so train kernels
+        never drop below the emulated-f32 grade.
+
         The sweep composition needs the scoped-VMEM limit raised past
         Mosaic's 16 MB default (the scan body costs ~6 MB of headroom on
         top of the 16.5 MB the tiles use; v5e has 128 MB/core), so on TPU

@@ -165,9 +165,10 @@ def test_pallas_step_kwargs_selection():
 
     from diffpose_tpu.train.trainer import DiffposeRunner
 
-    def stub(batch_size, dropout_impl):
+    def stub(batch_size, dropout_impl, kernel_precision=None):
         return types.SimpleNamespace(
             dropout_impl=dropout_impl,
+            kernel_precision=kernel_precision,
             config=types.SimpleNamespace(
                 training=types.SimpleNamespace(batch_size=batch_size)),
         )
@@ -183,3 +184,10 @@ def test_pallas_step_kwargs_selection():
     import jax
     expect = "prng" if jax.default_backend() == "tpu" else "masks"
     assert kw["dropout"] == expect
+    # precision plumbing: the "default" tier (None) floors at bf16x3 for
+    # train kernels (documented in _pallas_step_kwargs); explicit tiers
+    # pass through unchanged
+    assert DiffposeRunner._pallas_step_kwargs(
+        stub(1024, "masks"), in_sweep=False)["precision"] == "bf16x3"
+    assert DiffposeRunner._pallas_step_kwargs(
+        stub(1024, "masks", "bf16"), in_sweep=False)["precision"] == "bf16"
