@@ -374,14 +374,20 @@ def make_sharded_video_train_step(
     ema_mu: Optional[float] = 0.999,
     mask=None,
     donate: bool = True,
+    base_step: Optional[Callable] = None,
 ) -> Callable:
     """Video training over a 1-D or 2-D mesh: windows shard over
     ``data_axis`` (grads pmean), frames over ``cp_axis`` (temporal
     attention all-gathers K/V inside the model; frame-summed loss/grads
-    psum).  Pass ``data_axis=None`` for pure context parallelism."""
+    psum).  Pass ``data_axis=None`` for pure context parallelism.
+
+    ``base_step`` injects a pre-built per-shard step (e.g. the fused
+    Pallas video train step, ``ops/pallas_video_train.py``, built with
+    the same ``data_axis``) — data-parallel only; the CP all-gather lives
+    inside the module forward the default step uses."""
     from diffpose_tpu.train.video_steps import make_video_train_step
 
-    local_step = make_video_train_step(
+    local_step = base_step or make_video_train_step(
         model, optimizer, betas, ema_mu=ema_mu, mask=mask,
         data_axis=data_axis, cp_axis=cp_axis,
     )

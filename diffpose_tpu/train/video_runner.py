@@ -54,6 +54,7 @@ class VideoRunner:
         use_ema_eval: bool = False,
         reference_compat: bool = True,
         denoiser_impl: str = "module",  # "module" | "pallas"
+        train_impl: str = "module",     # "module" | "pallas"
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
         exec_cache: bool = False,
@@ -72,6 +73,7 @@ class VideoRunner:
         self.use_ema_eval = use_ema_eval
         self.reference_compat = reference_compat
         self.denoiser_impl = denoiser_impl
+        self.train_impl = train_impl
         self.eval_matmul_precision = eval_matmul_precision
         self.train_matmul_precision = train_matmul_precision
         # disk-backed executable cache (utils/aot_cache.py, see DiffposeRunner)
@@ -191,6 +193,30 @@ class VideoRunner:
             process_index=jax.process_index(),
         )
 
+    def _pallas_train_kwargs(self) -> dict:
+        """Kernel config for make_pallas_video_train_step: the frame
+        family's fastest tiles ((64, 32), whole-row attention) — the
+        spatial-block math is identical; the fused ``B·F`` row axis is
+        zero-padded to the tile inside the fn.  Off-TPU (interpret) the
+        small tiling keeps CPU smoke tests cheap."""
+        interpret = jax.default_backend() != "tpu"
+        if interpret:
+            return dict(interpret=True, block_b_fwd=8, block_b_bwd=8, group=4)
+        return dict(interpret=False, block_b_fwd=64, block_b_bwd=32, group=17,
+                    vmem_limit_bytes=100 * 2**20)
+
+    def _pallas_train_step(self, optimizer, ema_mu, data_axis=None):
+        from diffpose_tpu.ops.pallas_video_train import make_pallas_video_train_step
+
+        assert bool(np.all(np.asarray(self.mask) == 1)), (
+            "--train_impl pallas assumes the all-True joint mask")
+        return make_pallas_video_train_step(
+            self.model, optimizer, self.betas, ema_mu=ema_mu,
+            data_axis=data_axis,
+            precision=self.kernel_precision or "bf16x3",
+            **self._pallas_train_kwargs(),
+        )
+
     def _build_train_step(self, steps_per_epoch: int):
         o = self.config.optim
         optimizer = make_optimizer(
@@ -199,13 +225,28 @@ class VideoRunner:
             grad_clip=o.grad_clip, eps=o.eps,
         )
         ema_mu = self.config.model.ema_rate if self.config.model.ema else None
+        use_pallas = self.train_impl == "pallas"
+        if use_pallas and self.cp_axis is not None:
+            logger.warning(
+                "--train_impl pallas does not compose with context "
+                "parallelism (the temporal K/V all-gather lives in the "
+                "module forward); using the module train step")
+            use_pallas = False
         if self.mesh is not None:
             from diffpose_tpu.parallel.sharding import make_sharded_video_train_step
 
+            base_step = (
+                self._pallas_train_step(optimizer, ema_mu, self.data_axis)
+                if use_pallas else None)
             step_fn = make_sharded_video_train_step(
                 self.model, optimizer, self.betas, self.mesh,
                 data_axis=self.data_axis, cp_axis=self.cp_axis,
-                ema_mu=ema_mu, mask=self.mask,
+                ema_mu=ema_mu, mask=self.mask, base_step=base_step,
+            )
+        elif use_pallas:
+            step_fn = jax.jit(
+                self._pallas_train_step(optimizer, ema_mu),
+                donate_argnums=(0,),
             )
         else:
             step_fn = jax.jit(

@@ -214,3 +214,64 @@ def test_video_runner_pallas_eval_composes_with_2d_mesh():
     _, _, pred_p = step_p(state, batch, key)
     np.testing.assert_allclose(
         np.asarray(pred_p), np.asarray(pred_m), atol=2e-5)
+
+
+def test_video_runner_pallas_train_runs():
+    """--train_impl pallas: the spatial blocks' fwd+bwd run through the
+    fused kernel pair (interpret off-TPU); loss finite, params move."""
+    runner = VideoRunner(_cfg(), seed=3, train_impl="pallas")
+    runner.create_video_model()
+    runner.set_data(*_data())
+    p0 = jax.tree_util.tree_map(jnp.copy, runner._params_init)
+    history = runner.train()
+    assert np.isfinite(history["loss"][0])
+    assert np.isfinite(history["p1"][0])
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, runner.state.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_video_runner_pallas_train_composes_with_data_mesh():
+    """Fused video train step injected as base_step of the sharded step:
+    per-shard kernels, grads pmean'd over the data axis."""
+    from diffpose_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    runner = VideoRunner(_cfg(batch=8), seed=5, mesh=mesh,
+                         data_axis="data", train_impl="pallas")
+    runner.create_video_model()
+    runner.set_data(*_data(seed=7))
+    history = runner.train()
+    assert np.isfinite(history["loss"][0])
+
+
+def test_video_runner_pallas_train_cp_falls_back(caplog):
+    """CP + pallas train: warn and use the module step (the temporal K/V
+    all-gather lives in the module forward)."""
+    import logging as _logging
+
+    from diffpose_tpu.parallel import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "context"))
+    runner = VideoRunner(_cfg(), seed=5, mesh=mesh, data_axis="data",
+                         cp_axis="context", train_impl="pallas")
+    runner.create_video_model()
+    runner.set_data(*_data(seed=7))
+    with caplog.at_level(_logging.WARNING):
+        history = runner.train()
+    assert np.isfinite(history["loss"][0])
+    assert any("does not compose with context" in r.message
+               for r in caplog.records)
+
+
+def test_main_video_cli_pallas_train(tmp_path):
+    from diffpose_tpu.cli import main_video
+
+    rc = main_video.main([
+        "--config", "configs/human36m_video.yml",
+        "--doc", "vidpal", "--exp", str(tmp_path), "--ni",
+        "--train", "--n_epochs", "1", "--frames", str(FRAMES),
+        "--synthetic_windows", "8", "--batch_size", "4", "--lr", "0.001",
+        "--train_impl", "pallas",
+    ])
+    assert rc == 0
