@@ -138,20 +138,27 @@ def make_pallas_video_train_fn(
     block_b_bwd: int = 16,
     group: int = 4,
     precision="bf16x3",
+    dropout: str = "masks",
     interpret: bool = False,
     vmem_limit_bytes=None,
     rates: Optional[Tuple[float, float, float]] = None,
     stack_override=None,
 ):
-    """Build ``fn(params, x [B,F,J,C], t [B], masks, tkey) → ε̂`` — the
-    fused-kernel, params-differentiable equivalent of
+    """Build ``fn(params, x [B,F,J,C], t [B], masks_or_seed, tkey) → ε̂``
+    — the fused-kernel, params-differentiable equivalent of
     ``model.apply({"params": params}, x, t, train=True, rngs=...)``.
 
-    ``masks``: a ``train_ref.DropoutMasks`` drawn at batch ``B·F`` with
-    ``num_layers = model.num_layers`` and the video rates
-    (:func:`video_dropout_rates`); ``tkey`` seeds the temporal blocks'
-    dropout.  Statistically identical to the module path; the RNG stream
-    differs, as it may.
+    ``dropout="masks"``: ``masks_or_seed`` is a ``train_ref.DropoutMasks``
+    drawn at batch ``B·F`` with ``num_layers = model.num_layers`` and the
+    video rates (:func:`video_dropout_rates`).  ``dropout="prng"``
+    (TPU-hardware only): ``masks_or_seed`` is a [1] int32 step seed and
+    the spatial masks are drawn inside the kernels — at video sizes the
+    explicit ``probs_exp`` mask alone is ~68 MB/layer of HBM traffic
+    (written once, read by both kernels), which prng removes; each
+    spatial layer folds its index into the seed so layers draw
+    independent streams.  ``tkey`` seeds the temporal blocks' dropout
+    (always XLA).  Statistically identical to the module path; the RNG
+    stream differs, as it may.
 
     ``stack_override(w_stack, h0, tp, masks_1layer) → d5`` swaps the
     Pallas stack for a pure-JAX twin (parity tests isolate the kernels).
@@ -161,23 +168,27 @@ def make_pallas_video_train_fn(
     assert model.cp_axis is None, (
         "fused video train runs per-shard batches only; build the model "
         "with cp_axis=None (temporal CP stays on the XLA module path)")
+    assert dropout in ("masks", "prng"), dropout
+    assert not (dropout == "prng" and interpret), (
+        "prng dropout needs TPU PRNG hardware (no interpret path)")
     hid = model.hid_dim
     heads = model.num_heads
     basis = np.asarray(model.basis)
     basis_j = jnp.asarray(basis, jnp.float32)
     f32 = jnp.float32
+    prng = dropout == "prng"
     if rates is None:
         rates = video_dropout_rates(model)
     t_rate = float(model.dropout_rate)
     tile = max(block_b_fwd, block_b_bwd)
 
-    convert_masks = stack_override is None
+    convert_masks = stack_override is None and not prng
     stack_fn = stack_override
     if stack_fn is None:
         stack_fn = build_pallas_train_stack(
             basis, num_layers=1, num_heads=heads, hid_dim=hid,
             block_b_fwd=block_b_fwd, block_b_bwd=block_b_bwd, group=group,
-            precision=precision, dropout="masks", interpret=interpret,
+            precision=precision, dropout=dropout, interpret=interpret,
             vmem_limit_bytes=vmem_limit_bytes, rates=rates,
         )
 
@@ -213,17 +224,24 @@ def make_pallas_video_train_fn(
             tp = _dense(res["temb_proj"], st)                 # [B, hid]
             tp = jnp.repeat(tp, f, axis=0)[None]              # [1, B·F, hid]
 
-            mi = _slice_masks(masks, i)
             # joint-major [J, B·F, hid] — the kernels' layout
             hj = jnp.transpose(h.reshape(rows, j, hid), (1, 0, 2))
             if pad:
                 hj = jnp.pad(hj, ((0, 0), (0, pad), (0, 0)))
                 tp = jnp.pad(tp, ((0, 0), (0, pad), (0, 0)))
-                mi = DropoutMasks(*[
-                    jnp.pad(m, [(0, 0)] * (m.ndim - 2)
-                            + [(0, pad), (0, 0)], constant_values=1)
-                    for m in mi])
-            mk = kernel_masks(mi, hid // heads) if convert_masks else mi
+            if prng:
+                # layer-distinct stream: the 1-layer stacks all run at
+                # kernel layer index 0, so the layer identity rides the
+                # seed value instead (int32 wrap-around is fine)
+                mk = masks + jnp.int32(i) * jnp.int32(1000003)
+            else:
+                mi = _slice_masks(masks, i)
+                if pad:
+                    mi = DropoutMasks(*[
+                        jnp.pad(m, [(0, 0)] * (m.ndim - 2)
+                                + [(0, pad), (0, 0)], constant_values=1)
+                        for m in mi])
+                mk = kernel_masks(mi, hid // heads) if convert_masks else mi
             d5 = stack_fn(w_stack, hj, tp, mk)
             if pad:
                 d5 = d5[:, :rows]
@@ -253,6 +271,7 @@ def make_pallas_video_train_step(
     block_b_bwd: int = 16,
     group: int = 4,
     precision="bf16x3",
+    dropout: str = "masks",
     interpret: bool = False,
     vmem_limit_bytes=None,
 ):
@@ -262,6 +281,8 @@ def make_pallas_video_train_step(
     diffusion objective, with every spatial block's fwd+bwd running
     through the Pallas kernel pair.  Supports data parallelism
     (``data_axis`` pmean); context parallelism stays on the module path.
+    ``dropout="prng"`` draws the spatial masks in-kernel (TPU only; see
+    :func:`make_pallas_video_train_fn`).
     """
     import optax
 
@@ -272,9 +293,10 @@ def make_pallas_video_train_step(
 
     num_timesteps = len(betas)
     rates = video_dropout_rates(model)
+    prng = dropout == "prng"
     fwd = make_pallas_video_train_fn(
         model, block_b_fwd=block_b_fwd, block_b_bwd=block_b_bwd, group=group,
-        precision=precision, interpret=interpret,
+        precision=precision, dropout=dropout, interpret=interpret,
         vmem_limit_bytes=vmem_limit_bytes, rates=rates,
     )
 
@@ -297,9 +319,14 @@ def make_pallas_video_train_step(
         e = jax.random.normal(k_e, uvxyz.shape, uvxyz.dtype) * noise_scale
         x_t = q_sample(uvxyz, t, e, betas)
 
-        masks = make_dropout_masks(
-            k_sp, num_layers=model.num_layers, n_pts=j, batch=b * f,
-            num_heads=model.num_heads, hid_dim=model.hid_dim, rates=rates)
+        if prng:
+            masks = jax.random.randint(
+                k_sp, (1,), jnp.iinfo(jnp.int32).min,
+                jnp.iinfo(jnp.int32).max, jnp.int32)
+        else:
+            masks = make_dropout_masks(
+                k_sp, num_layers=model.num_layers, n_pts=j, batch=b * f,
+                num_heads=model.num_heads, hid_dim=model.hid_dim, rates=rates)
 
         def loss_fn(params):
             eps = fwd(params, x_t, t.astype(jnp.float32), masks, k_tp)

@@ -9,7 +9,13 @@ fixed ``max_iterations``-length scan, so one train step costs
 against the standard family's single fused fwd+bwd (15.49 ms at b=1024).
 
 Usage: probe_igcn_train.py [iters] [--b=512 --bbf=64 --bbb=32 --grp=17
-                            --vmem=100 --maxit=20 --xla-only --pallas-only]
+                            --vmem=100 --maxit=20 --xla-only --pallas-only
+                            --sweep=N]
+
+``--sweep=N``: additionally time the device-resident implicit train
+sweep (``make_implicit_train_sweep_step``, the ``--train_sweep`` CLI
+path) at N optimizer steps per dispatch — module base step (XLA), and
+the fused-kernel base step unless ``--xla-only``.
 """
 
 from __future__ import annotations
@@ -113,18 +119,54 @@ def main():
 
     from diffpose_tpu.ops.pallas_igcn_train import make_pallas_implicit_train_step
 
+    drp = next((a[10:] for a in sys.argv if a.startswith("--dropout=")), "masks")
     step = jax.jit(make_pallas_implicit_train_step(
         model, opt, betas, block_b_fwd=bbf, block_b_bwd=bbb, group=grp,
-        vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None,
+        vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None, dropout=drp,
     ), donate_argnums=())
-    bench(f"Pallas fused [bf16x3 ({bbf},{bbb}) grp{grp}]", step)
+    bench(f"Pallas fused [bf16x3 ({bbf},{bbb}) grp{grp} {drp}]", step)
 
     if "--remat" in sys.argv:
         step = jax.jit(make_pallas_implicit_train_step(
             model, opt, betas, block_b_fwd=bbf, block_b_bwd=bbb, group=grp,
             vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None, remat=True,
+            dropout=drp,
         ), donate_argnums=())
-        bench(f"Pallas fused+remat [bf16x3 ({bbf},{bbb}) grp{grp}]", step)
+        bench(f"Pallas fused+remat [bf16x3 ({bbf},{bbb}) grp{grp} {drp}]", step)
+
+    sweep = next((int(a[8:]) for a in sys.argv if a.startswith("--sweep=")), 0)
+    if sweep:
+        # Device-resident sweep (the --train_sweep CLI path): N optimizer
+        # steps per dispatch over device-resident data; fused base step.
+        from diffpose_tpu.train.implicit_steps import make_implicit_train_sweep_step
+
+        rng2 = np.random.default_rng(1)
+        data = {
+            "poses_3d": jnp.asarray(
+                rng2.normal(size=(sweep * b, 17, 3)).astype(np.float32)),
+            "poses_2d_gmm": jnp.asarray(
+                np.abs(rng2.normal(size=(sweep * b, 17, 5, 5))
+                       ).astype(np.float32) + 0.1),
+        }
+        idx = jnp.arange(sweep * b, dtype=jnp.int32).reshape(sweep, b)
+        base = make_pallas_implicit_train_step(
+            model, opt, betas, block_b_fwd=bbf, block_b_bwd=bbb, group=grp,
+            vmem_limit_bytes=vmem_mb * 2**20 if vmem_mb else None)
+        sw = jax.jit(make_implicit_train_sweep_step(
+            model, opt, betas, sweep=sweep, base_step=base), donate_argnums=())
+        t0 = time.perf_counter()
+        st, metrics = sw(state0, data, idx, key)
+        jax.block_until_ready(st.params)
+        print(f"Pallas sweep x{sweep}: compile {time.perf_counter()-t0:.0f}s  "
+              f"loss[-1] {float(metrics['loss'][-1]):.1f}", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, metrics = sw(st, data, idx, key)
+        jax.block_until_ready(st.params)
+        ms = (time.perf_counter() - t0) / (iters * sweep) * 1e3
+        print(f"Pallas sweep x{sweep} (b={b}, maxit={maxit}): {ms:7.2f} ms/step "
+              f"({b/ms*1e3:,.0f} frames/s; {ms/maxit:.2f} ms/solver-iter)",
+              flush=True)
 
 
 if __name__ == "__main__":
