@@ -59,12 +59,12 @@ def main(argv=None) -> int:
 
     from diffpose_tpu.train.video_runner import VideoRunner
 
-    # Sweep / prng-dropout knobs are frame-runner features; say so instead
-    # of silently accepting them from the shared flag set.
+    # Sweep knobs are frame-runner features; say so instead of silently
+    # accepting them from the shared flag set.
     # (--denoiser_impl pallas applies at eval, ops/pallas_video.py;
-    # --train_impl pallas applies in training, ops/pallas_video_train.py.)
-    for flag, default in (("eval_sweep", 1), ("train_sweep", 1),
-                          ("dropout_impl", "masks")):
+    # --train_impl pallas + --dropout_impl apply in training,
+    # ops/pallas_video_train.py.)
+    for flag, default in (("eval_sweep", 1), ("train_sweep", 1)):
         if getattr(args, flag) != default:
             logging.warning("--%s is not supported by the video runner; ignored", flag)
 
@@ -81,6 +81,7 @@ def main(argv=None) -> int:
             use_ema_eval=args.use_ema_eval,
             denoiser_impl=args.denoiser_impl,
             train_impl=args.train_impl,
+            dropout_impl=args.dropout_impl,
             exec_cache=args.exec_cache,
             kernel_precision=args.kernel_precision,
             eval_matmul_precision=args.matmul_precision,

@@ -55,6 +55,7 @@ class VideoRunner:
         reference_compat: bool = True,
         denoiser_impl: str = "module",  # "module" | "pallas"
         train_impl: str = "module",     # "module" | "pallas"
+        dropout_impl: str = "masks",    # "masks" | "prng" (pallas train)
         eval_matmul_precision: str = "float32",
         train_matmul_precision: str = "float32",
         exec_cache: bool = False,
@@ -74,6 +75,7 @@ class VideoRunner:
         self.reference_compat = reference_compat
         self.denoiser_impl = denoiser_impl
         self.train_impl = train_impl
+        self.dropout_impl = dropout_impl
         self.eval_matmul_precision = eval_matmul_precision
         self.train_matmul_precision = train_matmul_precision
         # disk-backed executable cache (utils/aot_cache.py, see DiffposeRunner)
@@ -198,11 +200,22 @@ class VideoRunner:
         family's fastest tiles ((64, 32), whole-row attention) — the
         spatial-block math is identical; the fused ``B·F`` row axis is
         zero-padded to the tile inside the fn.  Off-TPU (interpret) the
-        small tiling keeps CPU smoke tests cheap."""
+        small tiling keeps CPU smoke tests cheap, and ``prng`` dropout
+        falls back to masks (Mosaic interpret has no PRNG).  On TPU,
+        ``--dropout_impl prng`` is the measured fast choice for video
+        training (18.9k vs 16.7k frames/s; docs/PERF.md round-4b)."""
         interpret = jax.default_backend() != "tpu"
+        dropout = self.dropout_impl
+        if dropout == "prng" and interpret:
+            logger.warning(
+                "--dropout_impl prng needs TPU hardware (Mosaic interpret "
+                "mode has no PRNG); using explicit masks")
+            dropout = "masks"
         if interpret:
-            return dict(interpret=True, block_b_fwd=8, block_b_bwd=8, group=4)
-        return dict(interpret=False, block_b_fwd=64, block_b_bwd=32, group=17,
+            return dict(interpret=True, dropout=dropout,
+                        block_b_fwd=8, block_b_bwd=8, group=4)
+        return dict(interpret=False, dropout=dropout,
+                    block_b_fwd=64, block_b_bwd=32, group=17,
                     vmem_limit_bytes=100 * 2**20)
 
     def _pallas_train_step(self, optimizer, ema_mu, data_axis=None):

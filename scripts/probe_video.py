@@ -89,6 +89,35 @@ def main():
                 override = make_pallas_video_denoiser_fn(
                     model, block_b=eval_bb, precision="bf16x3",
                     vmem_limit_bytes=vmem_mb * 2**20 or None)
+                if "--denoise-only" in sys.argv:
+                    # model-only throughput (no P1/P2 metrics): cost
+                    # attribution for the eval step's Procrustes share
+                    from diffpose_tpu.diffusion.ddim import ddim_sample
+
+                    x0 = jnp.concatenate(
+                        [jnp.zeros((b, frames, 17, 2)),
+                         jnp.zeros((b, frames, 17, 3))], axis=-1)
+                    pstate = fresh_state()
+
+                    @jax.jit
+                    def den(params, z):
+                        out = ddim_sample(
+                            lambda zz, tv: override(params, zz, tv),
+                            z, (0, 6), betas)
+                        return out[..., 2:].sum()
+
+                    t0 = time.perf_counter()
+                    den(pstate.params, x0).block_until_ready()
+                    print(f"denoise-only compile {time.perf_counter()-t0:.0f}s",
+                          flush=True)
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        r = den(pstate.params, x0)
+                    r.block_until_ready()
+                    ms = (time.perf_counter() - t0) / iters * 1e3
+                    print(f"video denoise-only (b={b} f={frames}, pallas "
+                          f"bb{eval_bb}): {ms:7.2f} ms "
+                          f"({fps_den/ms*1e3:,.0f} frames/s)", flush=True)
                 ev = jax.jit(make_video_eval_step(
                     model, betas, (0, 6), denoise_override=override))
                 t0 = time.perf_counter()

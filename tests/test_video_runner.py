@@ -275,3 +275,18 @@ def test_main_video_cli_pallas_train(tmp_path):
         "--train_impl", "pallas",
     ])
     assert rc == 0
+
+
+def test_video_runner_pallas_train_prng_fallback(caplog):
+    """--dropout_impl prng off-TPU: warn + fall back to explicit masks
+    (Mosaic interpret has no PRNG) — the step still runs."""
+    import logging as _logging
+
+    runner = VideoRunner(_cfg(), seed=3, train_impl="pallas",
+                         dropout_impl="prng")
+    runner.create_video_model()
+    runner.set_data(*_data())
+    with caplog.at_level(_logging.WARNING):
+        history = runner.train()
+    assert np.isfinite(history["loss"][0])
+    assert any("prng needs TPU hardware" in r.message for r in caplog.records)
