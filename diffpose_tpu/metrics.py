@@ -49,13 +49,143 @@ def weighted_mpjpe(predicted: Array, target: Array, w: Array) -> Array:
     return jnp.mean(w * jnp.linalg.norm(predicted - target, axis=-1))
 
 
-def procrustes_align(predicted: Array, target: Array) -> Array:
+def _det3(a, rows, cols):
+    """3×3 minor determinant of a batched 4×4 matrix ``a``."""
+    (i0, i1, i2), (j0, j1, j2) = rows, cols
+    return (
+        a[..., i0, j0] * (a[..., i1, j1] * a[..., i2, j2]
+                          - a[..., i1, j2] * a[..., i2, j1])
+        - a[..., i0, j1] * (a[..., i1, j0] * a[..., i2, j2]
+                            - a[..., i1, j2] * a[..., i2, j0])
+        + a[..., i0, j2] * (a[..., i1, j0] * a[..., i2, j1]
+                            - a[..., i1, j1] * a[..., i2, j0])
+    )
+
+
+def _adjugate4(a: Array) -> Array:
+    """Adjugate of a batched 4×4 matrix (closed-form cofactors)."""
+    idx = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
+    cols = []
+    for j in range(4):
+        col = []
+        for i in range(4):
+            minor = _det3(a, idx[i], idx[j])
+            col.append(((-1.0) ** (i + j)) * minor)
+        cols.append(jnp.stack(col, axis=-1))
+    # adj(A)[j, i_axis]: adj = cofactor(A)ᵀ → element [j_row=?]...
+    # built so that out[..., j, i] = C_ij  ⇒ out = adj(A) for symmetric A
+    return jnp.stack(cols, axis=-2)
+
+
+def _quat_rotation_and_trace(b_mat: Array, newton_iters: int = 20,
+                             polish_iters: int = 4):
+    """Optimal PROPER rotation for Wahba's problem via the quaternion
+    (Davenport/QUEST) method — branch-free, no XLA while-loops.
+
+    ``b_mat`` [..., 3, 3] is the correlation matrix ``B = Σᵢ bᵢ aᵢᵀ``;
+    returns ``(r, λ_max)`` with ``r ∈ SO(3)`` in ROW convention
+    (``a_row @ r ≈ b_row``; the column-convention optimum maximizing
+    ``tr(RᵀB)`` is ``rᵀ``) and ``λ_max`` the attained maximum — which
+    equals the reflection-fixed singular-value sum σ₁+σ₂±σ₃ the SVD
+    solution computes.
+
+    Why not ``jnp.linalg.svd``: XLA's batched SVD is an iterative
+    while-loop that schedules pathologically when fused into large
+    device programs (measured +5.8 ms inside the video eval vs 0.03 ms
+    standalone — docs/PERF.md round 4).  Everything here is unrolled
+    elementwise math and 4×4 matmuls, which fuse for free.
+
+    Algorithm (all batched, branch-free):
+    1. λ_max = largest root of K's characteristic quartic
+       (K is traceless ⇒ λ⁴ − (p₂/2)λ² − (p₃/3)λ + (p₂²/8 − p₄/4),
+       pₖ = tr(Kᵏ)), by Newton from the upper bound √3‖B‖_F — monotone,
+       quadratic convergence.
+    2. eigenvector by one exact-shift inverse-iteration step:
+       q ∝ adj(K − (λ_max+δ)I) v₀ (the adjugate IS the unnormalized
+       inverse; δ ~ 1e-6‖B‖_F keeps the matrix invertible when λ_max is
+       a double root, where any vector of the eigenspace is equally
+       optimal).
+    3. a few shifted power-iteration polish steps (shift 0.6‖B‖_F > σ₃
+       keeps λ_max dominant for det(B) < 0, where the most negative
+       eigenvalue otherwise wins in magnitude).
+
+    Accuracy: identical to the SVD path to ~1e-7 in λ and ~1e-4 mm in
+    P-MPJPE on realistic pose data.  When λ_max is a NEAR-TIE (gap
+    ≲1e-4·‖B‖ — e.g. exactly-planar near-collinear clouds, which real
+    poses never produce), the returned rotation may be any member of the
+    near-optimal family; the attained objective stays within the gap of
+    optimal, but per-sample P2 can differ from the SVD pick by ~1% on
+    such degenerate samples.  Use ``method="svd"`` where that matters.
+    """
+    m = b_mat
+    b11, b12, b13 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    b21, b22, b23 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    b31, b32, b33 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    row = lambda *xs: jnp.stack(xs, axis=-1)
+    k = jnp.stack([
+        row(b11 + b22 + b33, b23 - b32, b31 - b13, b12 - b21),
+        row(b23 - b32, b11 - b22 - b33, b12 + b21, b31 + b13),
+        row(b31 - b13, b12 + b21, -b11 + b22 - b33, b23 + b32),
+        row(b12 - b21, b31 + b13, b23 + b32, -b11 - b22 + b33),
+    ], axis=-2)
+    fro = jnp.sqrt(jnp.sum(m * m, axis=(-2, -1))) + 1e-30
+
+    k2 = k @ k
+    k3 = k2 @ k
+    tr = lambda a: jnp.trace(a, axis1=-2, axis2=-1)
+    p2, p3, p4 = tr(k2), tr(k3), tr(k2 @ k2)
+    c2 = -p2 / 2.0
+    c1 = -p3 / 3.0
+    c0 = p2 * p2 / 8.0 - p4 / 4.0
+
+    lam = jnp.sqrt(jnp.asarray(3.0, m.dtype)) * fro  # ≥ λ_max, monotone side
+    for _ in range(newton_iters):
+        lam2 = lam * lam
+        f = lam2 * lam2 + c2 * lam2 + c1 * lam + c0
+        df = 4.0 * lam2 * lam + 2.0 * c2 * lam + c1
+        lam = lam - f / jnp.maximum(df, 1e-30)
+
+    eye = jnp.eye(4, dtype=k.dtype)
+    delta = (1e-6 * fro)[..., None, None]
+    adj = _adjugate4(k - (lam[..., None, None] + delta) * eye)
+    v0 = jnp.asarray([1.0, 0.31, 0.17, 0.093], k.dtype)
+    q = jnp.einsum("...ij,j->...i", adj, v0)
+    # tiny-norm rescue (v0 ⊥ eigenvector): blend in a second probe
+    n1 = jnp.sum(q * q, axis=-1, keepdims=True)
+    q2 = jnp.einsum("...ij,j->...i", adj, jnp.asarray(
+        [0.11, -0.93, 0.41, 0.27], k.dtype))
+    q = jnp.where(n1 > 1e-12 * jnp.sum(adj * adj, axis=(-2, -1))[..., None],
+                  q, q2)
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-30)
+    ks = k + (0.6 * fro)[..., None, None] * eye
+    for _ in range(polish_iters):
+        q = jnp.einsum("...ij,...j->...i", ks, q)
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-30)
+    lam = jnp.einsum("...i,...ij,...j->...", q, k, q)
+
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack([
+        row(1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        row(2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        row(2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    ], axis=-2)
+    return r, lam
+
+
+def procrustes_align(predicted: Array, target: Array,
+                     method: str = "quat") -> Array:
     """Optimal rigid alignment (scale+rotation+translation) of ``predicted``
-    onto ``target``; batched SVD on device.
+    onto ``target``; batched on device.
 
     Follows the reference solution (``common/loss.py:25-61``): normalize
-    both point sets, ``H = X₀ᵀY₀``, SVD, reflection fix via the sign of
-    ``det(R)`` applied to the last column of V and last singular value.
+    both point sets, ``H = X₀ᵀY₀``, then the optimal PROPER rotation and
+    its trace.  ``method="svd"`` is the literal reference algorithm
+    (SVD + reflection fix via det sign); ``method="quat"`` (default)
+    computes the identical solution through the quaternion method
+    (:func:`_quat_rotation_and_trace`) — same math, fuses into large
+    device programs without the XLA SVD loop's scheduling pathology
+    (5.8 ms → ~0 inside the video eval; docs/PERF.md round 4).
+    2-D inputs take the SVD path (the quaternion method is 3-D).
     """
     assert predicted.shape == target.shape and predicted.shape[-1] in (2, 3)
     mu_x = jnp.mean(target, axis=-2, keepdims=True)
@@ -68,16 +198,22 @@ def procrustes_align(predicted: Array, target: Array) -> Array:
     y0 = y0 / norm_y
 
     h = jnp.swapaxes(x0, -2, -1) @ y0
-    u, s, vt = jnp.linalg.svd(h)
-    v = jnp.swapaxes(vt, -2, -1)
-    r = v @ jnp.swapaxes(u, -2, -1)
+    if method == "quat" and predicted.shape[-1] == 3:
+        # h = Σᵢ x0ᵢ y0ᵢᵀ = B for a→b with a = y0 rows (predicted),
+        # b = x0 rows (target); the returned r is already row-convention
+        r, lam = _quat_rotation_and_trace(h)
+        tr = lam[..., None, None]
+    else:
+        u, s, vt = jnp.linalg.svd(h)
+        v = jnp.swapaxes(vt, -2, -1)
+        r = v @ jnp.swapaxes(u, -2, -1)
 
-    sign = jnp.sign(jnp.linalg.det(r))[..., None]
-    v = v.at[..., :, -1].multiply(sign)
-    s = s.at[..., -1].multiply(sign[..., 0])
-    r = v @ jnp.swapaxes(u, -2, -1)
+        sign = jnp.sign(jnp.linalg.det(r))[..., None]
+        v = v.at[..., :, -1].multiply(sign)
+        s = s.at[..., -1].multiply(sign[..., 0])
+        r = v @ jnp.swapaxes(u, -2, -1)
+        tr = jnp.sum(s, axis=-1)[..., None, None]
 
-    tr = jnp.sum(s, axis=-1)[..., None, None]
     a = tr * norm_x / norm_y
     t = mu_x - a * (mu_y @ r)
     return a * (predicted @ r) + t
