@@ -29,7 +29,9 @@ import sys
 import time
 
 BATCH = 1024
-TEST_TIMES = 1
+# config testing.test_times is 1; the reference CLI default is 5
+# (main_diffpose_frame.py:65-66) — BENCH_TEST_TIMES measures that protocol
+TEST_TIMES = int(os.environ.get("BENCH_TEST_TIMES", "1"))
 SEQ = (0, 12)  # 2 uniform DDIM steps of T_test=24
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
