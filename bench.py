@@ -137,6 +137,7 @@ def load_eval_params(diff, pose, ckpt_dir: str | None = None):
 def _bench_tpu_inner(iters: int) -> float:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from diffpose_tpu.diffusion import ddim_sample, get_beta_schedule
     from diffpose_tpu.graph import H36M_EDGES, cheb_basis_from_edges
@@ -187,7 +188,15 @@ def _bench_tpu_inner(iters: int) -> float:
         return jax.lax.map(lambda b: eval_one(pp, pd, b), batches)
 
     nb = 8
-    x = jax.random.normal(jax.random.PRNGKey(1), (nb, BATCH, 17, 2), jnp.float32)
+    # DISTINCT input per timed iteration: this environment's remote-
+    # execution layer memoizes (executable, args) → result for
+    # DESERIALIZED executables, so re-timing one input measures cache
+    # replay, not compute (observed: a cache-hit run "measured" 42M
+    # frames/s; docs/PERF.md round 4).  ~28 MB of inputs; xs[i] slices
+    # are device views, negligible in the timing.
+    xs = jax.random.normal(
+        jax.random.PRNGKey(1), (iters, nb, BATCH, 17, 2), jnp.float32)
+    x = xs[0]
     pp = jax.device_put(params_pose)
     pd = jax.device_put(params_diff)
     t0 = time.perf_counter()
@@ -219,14 +228,22 @@ def _bench_tpu_inner(iters: int) -> float:
                       f":bb{os.environ.get('BENCH_BLOCK_B', '128')}"
                       f":vm{os.environ.get('BENCH_VMEM_MB', '0')}"
                       f":src{self_src}"))
-    eval_sweep(pp, pd, x).block_until_ready()  # compile (no-op on a cache hit)
+    # Warmup MUST materialize (np.asarray), not merely block: on a
+    # deserialized executable the first output's block_until_ready
+    # returns without executing — only a real fetch triggers the ~100 s
+    # first-use upload/run, after which async semantics are normal
+    # (docs/PERF.md round 4).  Without this, a cache-hit bench "times"
+    # dispatches that never execute (observed 15M-42M fake frames/s).
+    np.asarray(eval_sweep(pp, pd, x))
     compile_s = time.perf_counter() - t0
-    print(f"# compile: {compile_s:.1f}s", file=sys.stderr)
+    print(f"# compile+first-run: {compile_s:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_sweep(pp, pd, x)
-    out.block_until_ready()
+    for i in range(iters):
+        out = eval_sweep(pp, pd, xs[i])
+    # fetch INSIDE the timed window: bulletproof against any lingering
+    # lazy-completion semantics; one 400 KB D2H amortized over `iters`
+    np.asarray(out)
     dt = time.perf_counter() - t0
     return nb * BATCH * iters / dt
 
