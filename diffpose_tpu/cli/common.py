@@ -105,8 +105,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "--denoiser_impl pallas eval AND --train_impl pallas "
                         "training): bf16x3 (parity-grade emulated f32), bf16 "
                         "(bf16-resident activations + f32 accumulation -- "
-                        "non-parity FAST tier), default (single-pass bf16 for "
-                        "eval; train kernels floor at bf16x3)")
+                        "non-parity FAST tier), default (single-pass bf16 on "
+                        "eval AND train kernels; NOT parity-grade -- train "
+                        "warns loudly)")
     parser.add_argument("--denoiser_impl", default="module",
                         choices=("module", "pallas"),
                         help="eval forward implementation: standard module, or the "

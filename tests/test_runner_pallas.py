@@ -31,3 +31,15 @@ def test_runner_pallas_eval_matches_module_eval():
     p1_p, p2_p = run("pallas")
     np.testing.assert_allclose(p1_p, p1_m, rtol=2e-3)
     np.testing.assert_allclose(p2_p, p2_m, rtol=2e-3)
+
+
+def test_kernel_precision_symmetric_across_eval_and_train():
+    """`--kernel_precision` means the same thing on both kernel paths:
+    eval passes the tier through verbatim, and the train kernels no longer
+    silently floor `default` (None) at bf16x3 (VERDICT r4 weak #6)."""
+    for flag, expected in (("bf16x3", "bf16x3"), ("bf16", "bf16"),
+                           ("default", None)):
+        runner = DiffposeRunner(_cfg(), seed=1, kernel_precision=flag)
+        assert runner.kernel_precision == expected          # eval-side value
+        kw = runner._pallas_step_kwargs(in_sweep=False)     # train-side value
+        assert kw["precision"] == expected, (flag, kw["precision"])
