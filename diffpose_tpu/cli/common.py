@@ -109,10 +109,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "eval AND train kernels; NOT parity-grade -- train "
                         "warns loudly)")
     parser.add_argument("--denoiser_impl", default="module",
-                        choices=("module", "pallas"),
+                        choices=("module", "pallas", "pallas_full"),
                         help="eval forward implementation: standard module, or the "
                         "fused whole-network Pallas kernels (parity-grade bf16x3 "
-                        "matmuls; single-chip eval only)")
+                        "matmuls; single-chip eval only).  pallas_full "
+                        "(video family only): the ENTIRE spatio-temporal "
+                        "forward incl. temporal blocks as one kernel")
     return parser
 
 

@@ -22,6 +22,17 @@ reference's dynamic version exactly.
 The reference's GPU-memory machinery (chunked attention
 ``igcn.py:151-187``, chunked batches, ``torch.cuda.empty_cache``) is
 intentionally absent: XLA static shapes + batch sharding replace it.
+
+Why there is NO implicit-function-theorem (IFT) gradient mode: the
+fixed-point map ``_f(z) = BN(stack(z, temb))`` has no input-injection
+term — the input enters only through the initialization ``z₀ =
+gconv_input(x)`` (same as reference ``igcn.py:225-291``).  The exact
+fixed point is therefore independent of ``x``, and an IFT gradient
+(which differentiates the exact fixed point) would zero out the entire
+input path.  The model works precisely because the solve is finite
+(max_iterations, loose tol) and the iterate retains init dependence;
+backprop-through-the-solve is the ONLY correct gradient for this
+architecture, not a fallback (docs/PERF.md round 5, negative results).
 """
 
 from __future__ import annotations

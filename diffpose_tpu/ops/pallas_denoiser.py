@@ -149,6 +149,100 @@ def _lap_mix(lap_ref, layer, z, n_pts):
     return jnp.stack(rows)
 
 
+def _gra_layer_eval(
+    h, l, w_refs, seg_c, segt_c, tp_row, *,
+    terms, n_pts, num_heads, h_dim, precision, group, act,
+):
+    """One eval-mode GraAttenLayer + ResChebGCDiff layer on ``[N, TB, H]``.
+
+    The shared per-layer body of every whole-network eval kernel: the
+    frame denoiser/lifter stacks (``_net_kernel``), the IGCN backbone,
+    and the video kernel's spatial phase (``pallas_video_full``) all call
+    this with their own ``TB`` row meaning.  ``w_refs`` is the 17-tuple of
+    per-layer weight refs in ``_W_ORDER_BACKBONE`` order; ``tp_row`` is
+    the layer's [TB, H] timestep projection or None (lifter).
+    """
+    (ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     wqkv_ref, bqkv_ref, wao_ref, bao_ref, lap_ref,
+     wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+     wg1_ref, bg1_ref, wg2_ref, bg2_ref) = w_refs
+    tb = h.shape[1]
+
+    # ---- attention sublayer ----
+    y = _layer_norm(h, ln1s_ref[l], ln1b_ref[l], h_dim)
+    qkv = _dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l], precision) + bqkv_ref[l]
+    qkv = qkv.reshape(n_pts, tb, 3 * h_dim).astype(act)
+    q = qkv[..., :h_dim]
+    k = qkv[..., h_dim:2 * h_dim]
+    v = qkv[..., 2 * h_dim:]
+    att = _seg_attention(q, k, v, seg_c, segt_c, n_pts=n_pts, tb=tb,
+                         num_heads=num_heads, h_dim=h_dim,
+                         precision=precision, group=group)
+    att = (
+        _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
+    ).reshape(n_pts, tb, h_dim)
+    h = (h + att).astype(act)
+
+    # ---- GraphNet sublayer ----
+    y = _layer_norm(h, ln2s_ref[l], ln2b_ref[l], h_dim)
+    y = _lap_mix(lap_ref, l, y, n_pts)
+    y = jax.nn.relu(
+        _dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l], precision) + bfc1_ref[l]
+    ).reshape(n_pts, tb, 2 * h_dim)
+    y = _lap_mix(lap_ref, l, y, n_pts)
+    y = (
+        _dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l], precision) + bfc2_ref[l]
+    ).reshape(n_pts, tb, h_dim)
+    h = (h + y).astype(act)
+
+    # ---- residual Chebyshev block (timestep injection when present) ----
+    u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts, precision))
+    if tp_row is not None:
+        u = u + tp_row  # [TB, H] broadcasts over the joint dim
+    u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
+    return (h + u).astype(act)
+
+
+def _seg_attention(q, k, v, seg_c, segt_c, *, n_pts, tb, num_heads, h_dim,
+                   precision, group):
+    """Multi-head attention over the leading axis via segment GEMMs.
+
+    Query-grouped: ``group`` query positions share each pair of segment
+    GEMMs (same MXU row count either way; fewer, longer GEMMs and one
+    softmax per group — costs ``group``× the [Nk,·,TB,H] score buffer in
+    VMEM, so big groups need a raised vmem_limit_bytes).  group=1 keeps
+    the rank-3 formulation (the production default for the 17-joint axis;
+    rank-4 intermediates compile much more slowly through Mosaic).  The
+    1/√dk score scale is pre-folded into the q projection weights.
+    """
+    if group == 1:
+        att_rows = []
+        for n in range(n_pts):
+            p = q[n:n + 1] * k                                # [17, TB, H]
+            s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
+            s = s.reshape(n_pts, tb, num_heads)               # scores over keys
+            smax = jnp.max(s, axis=0, keepdims=True)
+            e = jnp.exp(s - smax)
+            probs = e / jnp.sum(e, axis=0, keepdims=True)
+            w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c, precision)
+            w = w.reshape(n_pts, tb, h_dim)
+            att_rows.append(jnp.sum(w * v, axis=0))           # [TB, H]
+        return jnp.stack(att_rows)
+    att_rows = []
+    for g0 in range(0, n_pts, group):
+        g = min(group, n_pts - g0)
+        p = k[:, None] * q[g0:g0 + g][None]               # [Nk, g, TB, H]
+        s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
+        s = s.reshape(n_pts, g, tb, num_heads)            # scores over keys
+        smax = jnp.max(s, axis=0, keepdims=True)
+        e = jnp.exp(s - smax)
+        probs = e / jnp.sum(e, axis=0, keepdims=True)
+        w = _dot_exact_w(probs.reshape(-1, num_heads), segt_c, precision)
+        w = w.reshape(n_pts, g, tb, h_dim)
+        att_rows.append(jnp.sum(w * v[:, None], axis=0))  # [g, TB, H]
+    return jnp.concatenate(att_rows, axis=0)
+
+
 def _net_kernel(
     x_ref, *refs,
     terms, n_pts, num_layers, num_heads, h_dim, precision, has_temb,
@@ -191,70 +285,17 @@ def _net_kernel(
         h = x_ref[...]
 
     for l in range(num_layers):
-        # ---- attention sublayer ----
-        y = _layer_norm(h, ln1s_ref[l], ln1b_ref[l], h_dim)
-        qkv = _dot(y.reshape(n_pts * tb, h_dim), wqkv_ref[l], precision) + bqkv_ref[l]
-        qkv = qkv.reshape(n_pts, tb, 3 * h_dim).astype(act)
-        q = qkv[..., :h_dim]
-        k = qkv[..., h_dim:2 * h_dim]
-        v = qkv[..., 2 * h_dim:]
-
-        # Query-grouped attention: `group` query joints share each pair of
-        # segment GEMMs (same MXU row count either way; fewer, longer GEMMs
-        # and one softmax per group — costs `group`× the [Nk,·,TB,H] score
-        # buffer in VMEM, so big groups need a raised vmem_limit_bytes).
-        # group=1 keeps the rank-3 formulation (the production default;
-        # rank-4 intermediates compile much more slowly through Mosaic).
-        if group == 1:
-            att_rows = []
-            for n in range(n_pts):
-                p = q[n:n + 1] * k                                # [17, TB, H]
-                s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
-                s = s.reshape(n_pts, tb, num_heads)               # scores over keys
-                smax = jnp.max(s, axis=0, keepdims=True)
-                e = jnp.exp(s - smax)
-                probs = e / jnp.sum(e, axis=0, keepdims=True)
-                w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c, precision)
-                w = w.reshape(n_pts, tb, h_dim)
-                att_rows.append(jnp.sum(w * v, axis=0))           # [TB, H]
-            att = jnp.stack(att_rows)
-        else:
-            att_rows = []
-            for g0 in range(0, n_pts, group):
-                g = min(group, n_pts - g0)
-                p = k[:, None] * q[g0:g0 + g][None]               # [Nk, g, TB, H]
-                s = _dot_exact_w(p.reshape(-1, h_dim), seg_c, precision)
-                s = s.reshape(n_pts, g, tb, num_heads)            # scores over keys
-                smax = jnp.max(s, axis=0, keepdims=True)
-                e = jnp.exp(s - smax)
-                probs = e / jnp.sum(e, axis=0, keepdims=True)
-                w = _dot_exact_w(probs.reshape(-1, num_heads), segt_c, precision)
-                w = w.reshape(n_pts, g, tb, h_dim)
-                att_rows.append(jnp.sum(w * v[:, None], axis=0))  # [g, TB, H]
-            att = jnp.concatenate(att_rows, axis=0)
-        att = (
-            _dot(att.reshape(n_pts * tb, h_dim), wao_ref[l], precision) + bao_ref[l]
-        ).reshape(n_pts, tb, h_dim)
-        h = (h + att).astype(act)
-
-        # ---- GraphNet sublayer ----
-        y = _layer_norm(h, ln2s_ref[l], ln2b_ref[l], h_dim)
-        y = _lap_mix(lap_ref, l, y, n_pts)
-        y = jax.nn.relu(
-            _dot(y.reshape(n_pts * tb, h_dim), wfc1_ref[l], precision) + bfc1_ref[l]
-        ).reshape(n_pts, tb, 2 * h_dim)
-        y = _lap_mix(lap_ref, l, y, n_pts)
-        y = (
-            _dot(y.reshape(n_pts * tb, 2 * h_dim), wfc2_ref[l], precision) + bfc2_ref[l]
-        ).reshape(n_pts, tb, h_dim)
-        h = (h + y).astype(act)
-
-        # ---- residual Chebyshev block (timestep injection when present) ----
-        u = jax.nn.relu(_cheb(h, wg1_ref[l], bg1_ref[l], terms, n_pts, precision))
-        if tp_ref is not None:
-            u = u + tp_ref[l]  # [TB, H] broadcasts over the joint dim
-        u = jax.nn.relu(_cheb(u, wg2_ref[l], bg2_ref[l], terms, n_pts, precision))
-        h = (h + u).astype(act)
+        h = _gra_layer_eval(
+            h, l,
+            (ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+             wqkv_ref, bqkv_ref, wao_ref, bao_ref, lap_ref,
+             wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+             wg1_ref, bg1_ref, wg2_ref, bg2_ref),
+            seg_c, segt_c,
+            tp_ref[l] if tp_ref is not None else None,
+            terms=terms, n_pts=n_pts, num_heads=num_heads, h_dim=h_dim,
+            precision=precision, group=group, act=act,
+        )
 
     if has_io:
         o_ref[...] = _cheb(h, wout_ref[...], bout_ref[...], terms, n_pts,

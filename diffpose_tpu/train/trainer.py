@@ -84,6 +84,11 @@ class DiffposeRunner:
         # (data replicated, index batch axis sharded).  See
         # steps.make_train_sweep_step / sharding.make_sharded_train_sweep_step.
         self.train_sweep = train_sweep
+        if denoiser_impl == "pallas_full":
+            raise ValueError(
+                "--denoiser_impl pallas_full is the video family's "
+                "whole-window kernel (main_video); the frame/implicit "
+                "families' whole-network kernel is --denoiser_impl pallas")
         self.denoiser_impl = denoiser_impl
         self.train_impl = train_impl
         # pallas-train dropout: "masks" (explicit bf16 masks drawn in XLA,

@@ -338,20 +338,42 @@ class VideoRunner:
     # ------------------------------------------------------------------
 
     def _get_denoise_override(self):
-        """The fused-kernel video denoiser (``--denoiser_impl pallas``) —
-        built once; weights are runtime operands, so the one compiled
-        program serves every epoch's weights (live or EMA)."""
-        if self.denoiser_impl != "pallas":
+        """The fused-kernel video denoiser — built once; weights are
+        runtime operands, so the one compiled program serves every epoch's
+        weights (live or EMA).  ``--denoiser_impl pallas`` fuses the
+        spatial blocks (``ops/pallas_video.py``); ``pallas_full`` runs the
+        ENTIRE spatio-temporal forward as one kernel
+        (``ops/pallas_video_full.py``; whole windows per kernel, so it
+        does not compose with context parallelism)."""
+        if self.denoiser_impl not in ("pallas", "pallas_full"):
             return None
         if self._denoise_override is None:
-            from diffpose_tpu.ops.pallas_video import make_pallas_video_denoiser_fn
-
             assert bool(np.all(np.asarray(self.mask) == 1)), (
                 "--denoiser_impl pallas assumes the all-True joint mask")
-            self._denoise_override = make_pallas_video_denoiser_fn(
-                self.model, precision=self.kernel_precision,
-                interpret=jax.default_backend() != "tpu",
-            )
+            interpret = jax.default_backend() != "tpu"
+            if self.denoiser_impl == "pallas_full":
+                if self.cp_axis is not None:
+                    raise ValueError(
+                        "--denoiser_impl pallas_full owns whole windows; "
+                        "it does not compose with context parallelism "
+                        "(use --denoiser_impl pallas under a context mesh)")
+                from diffpose_tpu.ops.pallas_video_full import (
+                    make_pallas_video_full_fn,
+                )
+
+                self._denoise_override = make_pallas_video_full_fn(
+                    self.model, precision=self.kernel_precision,
+                    interpret=interpret,
+                )
+            else:
+                from diffpose_tpu.ops.pallas_video import (
+                    make_pallas_video_denoiser_fn,
+                )
+
+                self._denoise_override = make_pallas_video_denoiser_fn(
+                    self.model, precision=self.kernel_precision,
+                    interpret=interpret,
+                )
         return self._denoise_override
 
     def evaluate(self, is_train: bool = False, state: Optional[TrainState] = None) -> Tuple[float, float]:

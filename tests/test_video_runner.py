@@ -290,3 +290,18 @@ def test_video_runner_pallas_train_prng_fallback(caplog):
         history = runner.train()
     assert np.isfinite(history["loss"][0])
     assert any("prng needs TPU hardware" in r.message for r in caplog.records)
+
+
+def test_video_runner_pallas_full_eval_matches_module():
+    """`--denoiser_impl pallas_full` (whole spatio-temporal forward as ONE
+    kernel, ops/pallas_video_full.py) reproduces the module eval."""
+    def run(impl):
+        runner = VideoRunner(_cfg(), seed=21, denoiser_impl=impl)
+        runner.create_video_model()
+        runner.set_data(*_data(seed=6))
+        return runner.evaluate(is_train=True)
+
+    p1_m, p2_m = run("module")
+    p1_f, p2_f = run("pallas_full")
+    np.testing.assert_allclose(p1_f, p1_m, rtol=2e-3)
+    np.testing.assert_allclose(p2_f, p2_m, rtol=2e-3)
