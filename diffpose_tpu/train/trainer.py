@@ -452,6 +452,22 @@ class DiffposeRunner:
         best_p1, best_epoch = float("inf"), -1
         start_epoch = int(self.state.epoch)
 
+        # TSV training curve (reference common/log.py format — the
+        # reference DEFINES this logger but never instantiates it; here it
+        # is live so runs are comparable via scripts/compare_logs.py).
+        tsv = None
+        if self.log_dir is not None:
+            import os
+
+            from diffpose_tpu.utils.tsv_logger import Logger as TsvLogger
+
+            path = os.path.join(self.log_dir, "log.tsv")
+            tsv = TsvLogger(path, title=os.path.basename(self.log_dir),
+                            resume=resume and os.path.exists(path))
+            if not tsv.names:
+                tsv.set_names(
+                    ["Epoch", "LR", "Train Loss", "Test MPJPE", "Test P-MPJPE"])
+
         from diffpose_tpu.data.loader import prefetch_to_device
         from diffpose_tpu.parallel.sharding import data_sharding
 
@@ -517,6 +533,7 @@ class DiffposeRunner:
                     int(self.state.step), self.state, pose_params=self.pose_params
                 )
 
+            p1 = p2 = float("nan")
             if self.test_data is not None:
                 p1, p2 = self.evaluate(is_train=True)
                 history["p1"].append(p1)
@@ -527,6 +544,12 @@ class DiffposeRunner:
                     "| Best Epoch: %04d MPJPE: %.2f | Epoch: %04d MPJPE: %.2f PA-MPJPE: %.2f |",
                     best_epoch, best_p1, epoch, p1, p2,
                 )
+            if tsv is not None:
+                o = self.config.optim
+                lr = o.lr * (o.lr_gamma ** (epoch // max(o.decay, 1)))
+                tsv.append([epoch, lr, epoch_loss.avg, p1, p2])
+        if tsv is not None:
+            tsv.close()
         return history
 
     # ------------------------------------------------------------------

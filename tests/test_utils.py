@@ -157,3 +157,55 @@ def test_render_animation_avi(tmp_path):
     decoded = list(read_video(out))
     assert len(decoded) == frames
     assert decoded[0].ndim == 3 and decoded[0].shape[2] == 3
+
+
+def test_runner_writes_tsv_and_compare_logs_ingests(tmp_path, capsys):
+    """The runner writes the reference-format TSV curve per epoch
+    (common/log.py format) and scripts/compare_logs.py overlays it with a
+    reference-written file (TODO.md housekeeping item, VERDICT r4 #9)."""
+    import importlib.util
+    import os
+
+    from diffpose_tpu.config import (
+        Config, ModelConfig, OptimConfig, TestingConfig, TrainingConfig,
+    )
+    from diffpose_tpu.data import make_synthetic_dataset
+    from diffpose_tpu.train import DiffposeRunner
+
+    cfg = Config(
+        model=ModelConfig(hid_dim=32, num_layer=2, n_head=4),
+        training=TrainingConfig(batch_size=16, n_epochs=2),
+        testing=TestingConfig(test_times=1, test_timesteps=2,
+                              test_num_diffusion_timesteps=12),
+        optim=OptimConfig(lr=1e-3),
+    )
+    runner = DiffposeRunner(cfg, seed=5, log_dir=str(tmp_path / "run"))
+    runner.create_diffusion_model()
+    runner.create_pose_model()
+    runner.set_data(make_synthetic_dataset(32, seed=0),
+                    make_synthetic_dataset(16, seed=1))
+    runner.train()
+
+    tsv = tmp_path / "run" / "log.tsv"
+    lines = tsv.read_text().strip().splitlines()
+    assert lines[0].split("\t")[:3] == ["Epoch", "LR", "Train Loss"]
+    assert len(lines) == 3  # header + 2 epochs
+
+    # a reference-written file (same writer semantics as common/log.py)
+    ref = tmp_path / "ref_log.txt"
+    ref.write_text("Epoch\tLR\tTrain Loss\tTest MPJPE\tTest P-MPJPE\t\n"
+                   "0.000000\t0.001000\t9.000000\t410.000000\t300.000000\t\n"
+                   "1.000000\t0.001000\t8.000000\t390.000000\t280.000000\t\n")
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_logs", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "compare_logs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_png = tmp_path / "curves.png"
+    rc = mod.main([f"ours={tsv}", f"reference={ref}",
+                   "--metric", "Test MPJPE", "--out", str(out_png)])
+    assert rc == 0
+    assert out_png.exists()
+    captured = capsys.readouterr().out
+    assert "Test MPJPE" in captured and "reference" in captured
