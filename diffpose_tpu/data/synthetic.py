@@ -27,12 +27,33 @@ def make_synthetic_dataset(
     n_kernels: int = 5,
     seed: int = 0,
     noise_2d: float = 0.01,
+    pose_modes: int | None = None,
 ) -> FlatDataset:
+    """``pose_modes=None`` (default) draws i.i.d. random bone directions —
+    maximally diverse, but single-frame lifting is then depth-ambiguous by
+    construction (every bone has a mirror-depth solution), so eval MPJPE
+    floors high no matter how well a model trains.  ``pose_modes=K``
+    clusters the poses around K prototype direction sets (small jitter),
+    the well-posed regime real mocap sits in: 2D evidence identifies the
+    prototype, so a trained lifter/denoiser CAN drive MPJPE far below the
+    unconditional floor.  Used by ``scripts/hw_learning.py`` to
+    demonstrate end-to-end learning on hardware."""
     rng = np.random.default_rng(seed)
 
     # Build random but skeleton-consistent 3D poses: fixed bone lengths,
     # smoothly varying random directions per frame.
-    directions = rng.normal(size=(num_frames, len(H36M_EDGES), 3))
+    if pose_modes:
+        # Prototypes come from a FIXED stream (keyed only by pose_modes) so
+        # differently-seeded train/eval splits share the same pose manifold
+        # while drawing disjoint frames from it.
+        proto_rng = np.random.default_rng(19_690_720 + pose_modes)
+        protos = proto_rng.normal(size=(pose_modes, len(H36M_EDGES), 3))
+        protos /= np.linalg.norm(protos, axis=-1, keepdims=True)
+        assign = rng.integers(0, pose_modes, size=num_frames)
+        directions = protos[assign] + 0.08 * rng.normal(
+            size=(num_frames, len(H36M_EDGES), 3))
+    else:
+        directions = rng.normal(size=(num_frames, len(H36M_EDGES), 3))
     directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
     poses = np.zeros((num_frames, 17, 3), np.float32)
     for e, (parent, child) in enumerate(H36M_EDGES):

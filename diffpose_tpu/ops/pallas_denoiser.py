@@ -204,7 +204,7 @@ def _gra_layer_eval(
 
 
 def _seg_attention(q, k, v, seg_c, segt_c, *, n_pts, tb, num_heads, h_dim,
-                   precision, group):
+                   precision, group, loop=False):
     """Multi-head attention over the leading axis via segment GEMMs.
 
     Query-grouped: ``group`` query positions share each pair of segment
@@ -214,7 +214,37 @@ def _seg_attention(q, k, v, seg_c, segt_c, *, n_pts, tb, num_heads, h_dim,
     the rank-3 formulation (the production default for the 17-joint axis;
     rank-4 intermediates compile much more slowly through Mosaic).  The
     1/√dk score scale is pre-folded into the q projection weights.
+
+    ``loop=True`` (group=1 only) runs the query sweep as an in-kernel
+    ``lax.fori_loop`` instead of a Python unroll: one rolled body instead
+    of ``n_pts`` copies.  Numerics are identical; scheduling freedom is
+    not, so it exists for LONG attention axes (the video family's
+    81-frame temporal axis) where the unrolled program's size OOMs this
+    environment's remote-compile helper.  The 17-joint production
+    kernels keep the unrolled form.
     """
+    if group == 1 and loop:
+        # Mosaic lowers neither dynamic_slice nor dynamic_update_slice on
+        # VALUES (only on refs), so the rolled body selects/merges the
+        # query row with a one-hot iota mask — exact (single non-zero
+        # position) and cheap next to the segment GEMMs.
+        def body(n, acc):
+            sel = jax.lax.broadcasted_iota(jnp.int32, (n_pts, 1, 1), 0) == n
+            qn = jnp.sum(jnp.where(sel, q, jnp.zeros_like(q)), axis=0,
+                         keepdims=True, dtype=q.dtype)          # [1, TB, H]
+            p = qn * k                                          # [N, TB, H]
+            s = _dot_exact_w(p.reshape(n_pts * tb, h_dim), seg_c, precision)
+            s = s.reshape(n_pts, tb, num_heads)
+            smax = jnp.max(s, axis=0, keepdims=True)
+            e = jnp.exp(s - smax)
+            probs = e / jnp.sum(e, axis=0, keepdims=True)
+            w = _dot_exact_w(probs.reshape(n_pts * tb, num_heads), segt_c,
+                             precision)
+            w = w.reshape(n_pts, tb, h_dim)
+            row = jnp.sum(w * v, axis=0, dtype=jnp.float32)     # [TB, H]
+            return jnp.where(sel, row[None], acc)
+        init = jnp.zeros((n_pts, tb, h_dim), jnp.float32)
+        return jax.lax.fori_loop(0, n_pts, body, init)
     if group == 1:
         att_rows = []
         for n in range(n_pts):

@@ -112,7 +112,7 @@ def _temporal_weight_stacks(params: Dict[str, Any], num_layers: int,
 
 
 def _temporal_layer(h, l, t_refs, seg_c, segt_c, *, frames, num_heads, h_dim,
-                    precision, tgroup, act):
+                    precision, tgroup, tloop, act):
     """One eval-mode TemporalBlock (``models/video.py:99-120``) on
     ``[F, TB, H]`` (frame-major rows): pre-LN MHA over the frame axis +
     pre-LN 2-layer feed-forward, both residual."""
@@ -129,7 +129,7 @@ def _temporal_layer(h, l, t_refs, seg_c, segt_c, *, frames, num_heads, h_dim,
     v = qkv[..., 2 * h_dim:]
     att = _seg_attention(q, k, v, seg_c, segt_c, n_pts=frames, tb=tb,
                          num_heads=num_heads, h_dim=h_dim,
-                         precision=precision, group=tgroup)
+                         precision=precision, group=tgroup, loop=tloop)
     att = (
         _dot(att.reshape(frames * tb, h_dim), twao_ref[l], precision) + tbao_ref[l]
     ).reshape(frames, tb, h_dim)
@@ -148,7 +148,7 @@ def _temporal_layer(h, l, t_refs, seg_c, segt_c, *, frames, num_heads, h_dim,
 def _st_kernel(
     h_ref, tp_ref, *refs,
     terms, n_pts, frames, block_b, layers, num_heads, h_dim,
-    precision, group, tgroup,
+    precision, group, tgroup, tloop,
 ):
     """``layers`` spatial+temporal layer pairs on ``block_b`` windows."""
     s_refs = tuple(refs[:17])          # _W_ORDER_BACKBONE layer stacks
@@ -171,7 +171,8 @@ def _st_kernel(
         ht = ht.reshape(frames, block_b * n_pts, h_dim)
         ht = _temporal_layer(
             ht, l, t_refs, seg_c, segt_c, frames=frames, num_heads=num_heads,
-            h_dim=h_dim, precision=precision, tgroup=tgroup, act=act,
+            h_dim=h_dim, precision=precision, tgroup=tgroup, tloop=tloop,
+            act=act,
         )
         h = ht.reshape(frames, block_b, n_pts, h_dim).transpose(2, 1, 0, 3)
         h = h.reshape(n_pts, block_b * frames, h_dim)
@@ -183,7 +184,8 @@ def make_pallas_video_full_fn(
     model: SpatioTemporalDiff,
     *,
     block_b: int = 8,
-    tgroup: int = 9,
+    tgroup: int = 1,
+    tloop: bool = True,
     layers_per_call: int = 1,
     precision="bf16x3",
     interpret: bool = False,
@@ -200,6 +202,10 @@ def make_pallas_video_full_fn(
     (81/243) ``block_b`` is rounded up to the needed multiple.
     ``tgroup``: query frames per temporal-attention segment GEMM (bigger
     → fewer, longer GEMMs but a ``tgroup``× score workspace).
+    ``tloop``: run the temporal query sweep as an in-kernel
+    ``lax.fori_loop`` (tgroup=1 only).  Required at real frame counts:
+    unrolling 81 query iterations per layer OOMs this environment's
+    remote-compile helper (measured, docs/PERF.md round 5).
     ``layers_per_call``: layers fused per pallas_call — 1 (default)
     compiles one small reusable program; ``model.num_layers`` is the
     VMEM-resident monolith (compile-pathological through this
@@ -285,6 +291,7 @@ def make_pallas_video_full_fn(
             terms=terms, n_pts=n_pts, frames=frames, block_b=bb,
             layers=lpc, num_heads=heads, h_dim=hid,
             precision=precision, group=group, tgroup=tgroup,
+            tloop=(tloop and tgroup == 1),
         )
         hj = hj.astype(act)
         for c in range(num_layers // lpc):

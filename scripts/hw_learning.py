@@ -29,6 +29,10 @@ sys.path.insert(0, REPO)
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--pose_modes", type=int, default=32,
+                    help="prototype pose clusters in the synthetic data "
+                         "(0 = i.i.d. directions, which are single-frame "
+                         "depth-ambiguous and floor eval P1 near init)")
     ap.add_argument("--frames", type=int, default=8192)
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=5e-4)
@@ -64,9 +68,10 @@ def main(argv=None) -> int:
     )
     runner.create_diffusion_model()
     runner.create_pose_model()
+    pm = args.pose_modes or None
     runner.set_data(
-        make_synthetic_dataset(args.frames, seed=7),
-        make_synthetic_dataset(args.frames // 4, seed=8),
+        make_synthetic_dataset(args.frames, seed=7, pose_modes=pm),
+        make_synthetic_dataset(args.frames // 4, seed=8, pose_modes=pm),
     )
     history = runner.train()
 
@@ -100,6 +105,7 @@ def main(argv=None) -> int:
                 "train_sweep": 4,
                 "denoiser_impl": "pallas",
                 "synthetic_frames": args.frames,
+                "pose_modes": args.pose_modes,
                 "batch_size": args.batch_size,
                 "lr": args.lr,
                 "epochs": args.epochs,
@@ -133,9 +139,13 @@ def _verify_strict_load(pth: str, runner) -> None:
     adj = adj_mx_from_edges(17, edges, sparse=False)
     mc = SimpleNamespace(hid_dim=96, emd_dim=96, coords_dim=[5, 5],
                          num_layer=5, n_head=4, dropout=0.25, n_pts=17)
-    ref = GCNdiff(adj, SimpleNamespace(model=mc)).eval()
+    # The reference runner wraps the model in DataParallel before loading
+    # (runners/diffpose_frame.py model_diff), so checkpoint keys carry the
+    # "module." prefix — mirror that exactly for the strict load.
+    ref = torch.nn.DataParallel(GCNdiff(adj, SimpleNamespace(model=mc)).eval())
     states = torch.load(pth, weights_only=False)
     ref.load_state_dict(states[0], strict=True)  # strict: the ABI contract
+    ref = ref.module
 
     import jax.numpy as jnp
 

@@ -61,3 +61,18 @@ def test_full_kernel_monolith_matches_module():
     out = fn(params, x, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_full_kernel_tloop_matches_module():
+    """tloop: the temporal query sweep as an in-kernel lax.fori_loop
+    (the compile-feasible form at real frame counts — 81 unrolled query
+    iterations per layer OOM the remote-compile helper)."""
+    model, params, x, t = _setup()
+    ref = model.apply({"params": params}, x, t)
+
+    fn = make_pallas_video_full_fn(
+        model, block_b=1, tgroup=1, tloop=True, precision=None,
+        interpret=True)
+    out = fn(params, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

@@ -184,10 +184,13 @@ def test_pallas_step_kwargs_selection():
     import jax
     expect = "prng" if jax.default_backend() == "tpu" else "masks"
     assert kw["dropout"] == expect
-    # precision plumbing: the "default" tier (None) floors at bf16x3 for
-    # train kernels (documented in _pallas_step_kwargs); explicit tiers
-    # pass through unchanged
+    # precision plumbing: since r5 the "default" tier (None) passes
+    # through to the train kernels symmetrically with eval (with a loud
+    # not-parity-grade warning, covered in test_runner_pallas.py);
+    # explicit tiers pass through unchanged
     assert DiffposeRunner._pallas_step_kwargs(
-        stub(1024, "masks"), in_sweep=False)["precision"] == "bf16x3"
+        stub(1024, "masks"), in_sweep=False)["precision"] is None
+    assert DiffposeRunner._pallas_step_kwargs(
+        stub(1024, "masks", "bf16x3"), in_sweep=False)["precision"] == "bf16x3"
     assert DiffposeRunner._pallas_step_kwargs(
         stub(1024, "masks", "bf16"), in_sweep=False)["precision"] == "bf16"
