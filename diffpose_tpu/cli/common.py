@@ -109,12 +109,16 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         "eval AND train kernels; NOT parity-grade -- train "
                         "warns loudly)")
     parser.add_argument("--denoiser_impl", default="module",
-                        choices=("module", "pallas", "pallas_full"),
+                        choices=("module", "pallas", "pallas_st", "pallas_full"),
                         help="eval forward implementation: standard module, or the "
                         "fused whole-network Pallas kernels (parity-grade bf16x3 "
-                        "matmuls; single-chip eval only).  pallas_full "
-                        "(video family only): the ENTIRE spatio-temporal "
-                        "forward incl. temporal blocks as one kernel")
+                        "matmuls; single-chip eval only).  Video family only: "
+                        "pallas_st adds per-layer temporal kernels next to the "
+                        "spatial ones (every block kernel-resident; the "
+                        "production all-kernel path); pallas_full is the "
+                        "co-resident spatio-temporal kernel (compile-"
+                        "pathological through this environment's remote-"
+                        "compile service at 81 frames — see docs/PERF.md)")
     return parser
 
 

@@ -18,6 +18,7 @@ family built per SURVEY §7.9 / BASELINE configs[4].
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -97,6 +98,8 @@ def make_pallas_video_denoiser_fn(
     interpret: bool = False,
     vmem_limit_bytes=None,
     group: int = 1,
+    temporal_impl: str = "xla",
+    tloop: bool = False,
 ):
     """Build ``fn(params, x [B,F,J,C], t [B]) → ε̂`` — the fused-kernel,
     eval-mode equivalent of ``model.apply({"params": params}, x, t)``.
@@ -105,6 +108,12 @@ def make_pallas_video_denoiser_fn(
     epoch's weights).  Composes with the video mesh: under context
     parallelism the temporal K/V all-gather stays an XLA collective; the
     spatial kernels see only the local ``B·F_local`` rows.
+
+    ``temporal_impl="pallas"`` replaces the XLA temporal blocks with
+    per-layer Pallas kernels (``pallas_video_full.make_pallas_temporal_
+    layer_fn``) — every block kernel-resident without the co-resident
+    monolith's compile pathology.  Owns whole frame windows, so it
+    requires ``cp_axis=None``.
     """
     hid = model.hid_dim
     heads = model.num_heads
@@ -118,10 +127,28 @@ def make_pallas_video_denoiser_fn(
         block_b=block_b, interpret=interpret, precision=precision,
         vmem_limit_bytes=vmem_limit_bytes, group=group,
     )
+    temporal_pallas = None
+    if temporal_impl == "pallas":
+        assert cp_axis is None, (
+            "temporal_impl='pallas' kernels own complete frame windows; "
+            "context parallelism keeps the XLA temporal path")
+        # Lazy import: pallas_video_full imports _cheb from this module.
+        from diffpose_tpu.ops.pallas_video_full import (
+            _temporal_weight_stacks,
+            make_pallas_temporal_layer_fn,
+        )
+
+        temporal_pallas = make_pallas_temporal_layer_fn(
+            frames=model.frames, num_heads=heads, hid_dim=hid,
+            precision=precision, interpret=interpret, tloop=tloop)
+        temporal_stacks = functools.partial(
+            _temporal_weight_stacks, num_layers=model.num_layers,
+            num_heads=heads, hid_dim=hid)
 
     def fn(params: Dict[str, Any], x: Array, t: Array) -> Array:
         p = jax.tree_util.tree_map(lambda v: jnp.asarray(v, f32), params)
         b, f_local, j, _ = x.shape
+        tstacks = temporal_stacks(p) if temporal_pallas is not None else None
 
         temb = timestep_embedding(t.astype(f32), hid)
         temb = nn.swish(_dense(p["temb_dense_0"], temb))
@@ -154,8 +181,11 @@ def make_pallas_video_denoiser_fn(
             h = hs.reshape(b, f_local, j, hid)
 
             ht = h.transpose(0, 2, 1, 3).reshape(b * j, f_local, hid)
-            ht = _temporal_block(p[f"temporal_{i}"], ht, heads,
-                                 cp_axis, model.attention_chunk)
+            if temporal_pallas is not None:
+                ht = temporal_pallas(tstacks, ht, i)
+            else:
+                ht = _temporal_block(p[f"temporal_{i}"], ht, heads,
+                                     cp_axis, model.attention_chunk)
             h = ht.reshape(b, j, f_local, hid).transpose(0, 2, 1, 3)
 
         out = _cheb(basis_j, h.reshape(b * f_local, j, hid),

@@ -65,7 +65,7 @@ from diffpose_tpu.ops.pallas_video import _cheb as _cheb_bm
 
 Array = jax.Array
 
-__all__ = ["make_pallas_video_full_fn"]
+__all__ = ["make_pallas_video_full_fn", "make_pallas_temporal_layer_fn"]
 
 # Temporal weight-ref order — must match the unpacking in `_temporal_layer`.
 _T_ORDER = (
@@ -324,3 +324,92 @@ def make_pallas_video_full_fn(
         return out.reshape(b, frames, j, model.coords_out)
 
     return fn
+
+
+def _temporal_only_kernel(h_ref, *refs, frames, num_heads, h_dim,
+                          precision, tgroup, tloop):
+    """One TemporalBlock on a ``[F, TBb, H]`` row block (its own kernel)."""
+    t_refs = tuple(refs[:12])          # _T_ORDER stacks, layer axis = 1
+    seg_ref, segt_ref, o_ref = refs[12:]
+    seg_c = seg_ref[...]
+    segt_c = segt_ref[...]
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    h = h_ref[...].astype(act)
+    h = _temporal_layer(
+        h, 0, t_refs, seg_c, segt_c, frames=frames, num_heads=num_heads,
+        h_dim=h_dim, precision=precision, tgroup=tgroup, tloop=tloop,
+        act=act,
+    )
+    o_ref[...] = h.astype(o_ref.dtype)
+
+
+def make_pallas_temporal_layer_fn(
+    *,
+    frames: int,
+    num_heads: int,
+    hid_dim: int,
+    block_tb: int = 128,
+    tgroup: int = 1,
+    tloop: bool = True,
+    precision="bf16x3",
+    interpret: bool = False,
+    vmem_limit_bytes: int | None = 64 * 2**20,
+):
+    """Build ``apply(tstacks, ht [N, F, H], layer) → [N, F, H]`` — ONE
+    TemporalBlock (``models/video.py:99-120``) as its own Pallas kernel,
+    drop-in for the XLA ``_temporal_block`` on the batch-major layout the
+    spatial-fused eval path uses (``ops/pallas_video.py:156-159``).
+
+    The middle road between the XLA temporal blocks and the co-resident
+    spatio-temporal kernel (``make_pallas_video_full_fn``): each phase is
+    kernel-resident, the per-layer program stays small (one rolled
+    temporal body), and per-step VMEM is bounded by ``block_tb`` rows —
+    the two failure modes that block the co-resident kernel at 81 frames
+    through this environment's remote-compile service (helper OOM /
+    scoped-VMEM exhaustion, docs/PERF.md round 5).
+
+    ``tstacks``: the ``_temporal_weight_stacks`` dict (built once per
+    jitted call; sliced per layer here so one compiled program serves all
+    layers).  ``N = B·J`` rows; attention runs over the frame axis.
+    """
+    act = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    seg_j, segt_j = _segment_matrices(num_heads, hid_dim)
+    seg_j, segt_j = seg_j.astype(act), segt_j.astype(act)  # exact 0/1
+    kernel = functools.partial(
+        _temporal_only_kernel, frames=frames, num_heads=num_heads,
+        h_dim=hid_dim, precision=precision, tgroup=tgroup,
+        tloop=(tloop and tgroup == 1),
+    )
+
+    def apply(tstacks: Dict[str, Array], ht: Array, layer: int) -> Array:
+        n, f, hd = ht.shape
+        assert f == frames and hd == hid_dim, (ht.shape, frames, hid_dim)
+        t_args = [tstacks[k][layer:layer + 1].astype(act) for k in _T_ORDER]
+
+        bb = max(8, min(block_tb, ((n + 7) // 8) * 8))
+        pad = (-n) % bb
+        hf = jnp.transpose(ht, (1, 0, 2)).astype(act)     # [F, N, H]
+        if pad:
+            hf = jnp.pad(hf, ((0, 0), (0, pad), (0, 0)))
+        np_rows = n + pad
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((frames, np_rows, hid_dim), act),
+            grid=(np_rows // bb,),
+            in_specs=[
+                pl.BlockSpec((frames, bb, hid_dim), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                *[_full_spec(w.shape) for w in t_args],
+                _full_spec(seg_j.shape), _full_spec(segt_j.shape),
+            ],
+            out_specs=pl.BlockSpec((frames, bb, hid_dim),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes),
+        )(hf, *t_args, seg_j, segt_j)
+        return jnp.transpose(out[:, :n], (1, 0, 2)).astype(jnp.float32)
+
+    return apply

@@ -345,7 +345,7 @@ class VideoRunner:
         ENTIRE spatio-temporal forward as one kernel
         (``ops/pallas_video_full.py``; whole windows per kernel, so it
         does not compose with context parallelism)."""
-        if self.denoiser_impl not in ("pallas", "pallas_full"):
+        if self.denoiser_impl not in ("pallas", "pallas_st", "pallas_full"):
             return None
         if self._denoise_override is None:
             assert bool(np.all(np.asarray(self.mask) == 1)), (
@@ -370,9 +370,17 @@ class VideoRunner:
                     make_pallas_video_denoiser_fn,
                 )
 
+                if self.denoiser_impl == "pallas_st" and self.cp_axis is not None:
+                    raise ValueError(
+                        "--denoiser_impl pallas_st temporal kernels own "
+                        "whole frame windows; they do not compose with "
+                        "context parallelism (use --denoiser_impl pallas)")
                 self._denoise_override = make_pallas_video_denoiser_fn(
                     self.model, precision=self.kernel_precision,
                     interpret=interpret,
+                    temporal_impl=(
+                        "pallas" if self.denoiser_impl == "pallas_st"
+                        else "xla"),
                 )
         return self._denoise_override
 

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=8192)
     ap.add_argument("--batch_size", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--lr_decay", type=int, default=None,
+                    help="override optim.decay (epochs per staircase step; "
+                         "the reference's 60 shrinks lr 20x by epoch 1700, "
+                         "freezing long synthetic runs)")
     ap.add_argument("--log_dir", default="/tmp/hw_learning_r5")
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "hw_learning_r5.json"))
@@ -54,6 +58,8 @@ def main(argv=None) -> int:
     cfg.training.batch_size = args.batch_size
     cfg.training.n_epochs = args.epochs
     cfg.optim.lr = args.lr
+    if args.lr_decay is not None:
+        cfg.optim.decay = args.lr_decay
 
     on_tpu = jax.default_backend() == "tpu"
     runner = DiffposeRunner(
@@ -149,13 +155,21 @@ def _verify_strict_load(pth: str, runner) -> None:
 
     import jax.numpy as jnp
 
+    from diffpose_tpu.models.convert import torch_state_to_params
+
     x = np.random.RandomState(0).randn(4, 17, 5).astype(np.float32)
     t = np.asarray([0.0, 5.0, 11.0, 23.0], np.float32)
     mask = torch.ones(1, 1, 17, dtype=torch.bool)
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(x), mask, torch.from_numpy(t), 0).numpy()
-    ours = np.asarray(runner.model.apply(
-        {"params": runner.state.params}, jnp.asarray(x), jnp.asarray(t),
+    # Compare at the EXPORTED weights (round-tripped through the ingest
+    # converter): the live runner.state can be an epoch ahead of the
+    # latest finalized Orbax save the exporter reads.
+    params = torch_state_to_params(
+        {k: v.numpy() for k, v in states[0].items()},
+        num_layers=5, with_temb=True)
+    ours = np.asarray(runner.model_diff.apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(t),
         jnp.ones((1, 1, 17))))
     err = np.abs(ref_out - ours).max()
     assert err <= 5e-5, f"forward parity {err:.2e} > 5e-5"

@@ -29,7 +29,8 @@ def main():
     ap.add_argument("--tgroup", type=int, default=9)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--impl", default="all",
-                    choices=("all", "xla", "spatial", "full"))
+                    choices=("all", "xla", "spatial", "st", "full"))
+    ap.add_argument("--st_tloop", type=int, default=0)
     ap.add_argument("--precision", default="bf16x3")
     ap.add_argument("--vmem_mb", type=int, default=64)
     args = ap.parse_args()
@@ -69,6 +70,13 @@ def main():
             sp = make_pallas_video_denoiser_fn(
                 model, block_b=128, precision=args.precision)
             bench("spatial-fused", sp)
+        if args.impl in ("all", "st"):
+            from diffpose_tpu.ops.pallas_video import (
+                make_pallas_video_denoiser_fn as _mk,
+            )
+            st = _mk(model, block_b=128, precision=args.precision,
+                     temporal_impl="pallas", tloop=bool(args.st_tloop))
+            bench(f"st-fused(tloop={args.st_tloop})", st)
         if args.impl in ("all", "full"):
             from diffpose_tpu.ops.pallas_video_full import (
                 make_pallas_video_full_fn,

@@ -76,3 +76,19 @@ def test_full_kernel_tloop_matches_module():
     out = fn(params, x, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_temporal_layer_kernel_path_matches_module():
+    """temporal_impl='pallas': spatial kernels + per-layer temporal
+    kernels (the compile-feasible all-kernel eval path)."""
+    from diffpose_tpu.ops.pallas_video import make_pallas_video_denoiser_fn
+
+    model, params, x, t = _setup()
+    ref = model.apply({"params": params}, x, t)
+
+    fn = make_pallas_video_denoiser_fn(
+        model, block_b=32, precision=None, interpret=True,
+        temporal_impl="pallas")
+    out = fn(params, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
