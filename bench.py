@@ -371,7 +371,8 @@ def main():
         # Multi-hypothesis protocol (reference CLI default test_times=5,
         # main_diffpose_frame.py:65-66), measured in a child process so the
         # module-level TEST_TIMES picks up BENCH_TEST_TIMES=5.  Prints the
-        # tt5 JSON line; the parent relays it ahead of the headline line.
+        # tt5 JSON line; the parent folds it into the headline record
+        # (tt5_value/tt5_vs_baseline) so stdout stays ONE JSON line.
         assert TEST_TIMES == 5, TEST_TIMES
         baseline = get_baseline()
         med, mn, mx = bench_tpu()
@@ -390,10 +391,8 @@ def main():
     value, mn, mx = measure_headline()
     check_regression(value)
     tt5_line = measure_tt5()
-    if tt5_line:
-        print(tt5_line)
     vs = value / baseline if baseline > 0 else 0.0
-    print(json.dumps({
+    rec = {
         "metric": "h36m_eval_ddim_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "frames/s",
@@ -401,7 +400,20 @@ def main():
         "win_min": round(mn, 1),
         "win_max": round(mx, 1),
         "windows": WINDOWS,
-    }))
+    }
+    if tt5_line:
+        # Fold the standing tt=5 protocol into the ONE recorded JSON line
+        # (the driver's parser must never mistake the tt5 number for the
+        # headline); the full tt5 record also goes to stderr for humans.
+        try:
+            tt5 = json.loads(tt5_line)
+            rec["tt5_value"] = tt5["value"]
+            rec["tt5_vs_baseline"] = tt5["vs_baseline"]
+            print(f"# tt5 protocol: {tt5_line}", file=sys.stderr)
+        except (ValueError, KeyError) as e:
+            print(f"# tt5 line unparseable ({e}): {tt5_line}",
+                  file=sys.stderr)
+    print(json.dumps(rec))
 
 
 def measure_tt5() -> str:
