@@ -49,6 +49,10 @@ def main(argv=None) -> int:
                     help="skip training; redo the export + strict-load "
                          "verification against log_dir's checkpoints and "
                          "update the artifact's export fields")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from log_dir's checkpoints and extend to "
+                         "--epochs; the artifact keeps the prior "
+                         "trajectory with the new epochs appended")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,7 +95,15 @@ def main(argv=None) -> int:
             make_synthetic_dataset(args.frames, seed=7, pose_modes=pm),
             make_synthetic_dataset(args.frames // 4, seed=8, pose_modes=pm),
         )
-        history = runner.train()
+        history = runner.train(resume=args.resume)
+        if args.resume and os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            history = {
+                "loss": prev["loss"] + history["loss"],
+                "p1": prev["p1_mm"] + history["p1"],
+                "p2": prev["p2_mm"] + history["p2"],
+            }
 
     p1 = history["p1"]
     drop_pct = 100.0 * (p1[0] - min(p1)) / p1[0]
